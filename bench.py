@@ -1,0 +1,82 @@
+"""Benchmark: ResNet-50 train step throughput (images/sec/chip).
+
+Matches the reference's headline metric (BASELINE.json: "ResNet-50 train
+images/sec/chip"). Runs the full jitted train step (fwd+bwd+SGD+BN stats,
+bf16, label smoothing) on synthetic device-resident data so it measures the
+compute path, not host decode. Prints ONE JSON line.
+
+Baseline for vs_baseline: the reference's 4xV100 run (1.r50_baseline.yaml:5-6)
+did 90 epochs * 1.28M images in 10h41.7m => ~2993 img/s total => ~748
+img/s/GPU (V100, fp16, bs 256/GPU).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_IMG_PER_SEC_PER_CHIP = 90 * 1_281_167 / (10 * 3600 + 41.7 * 60) / 4  # ≈ 748.6
+
+
+def main():
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models import resnet50
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+    from sota_imagenet_tpu.train import steps as steps_lib
+    from sota_imagenet_tpu.train.schedule import make_lr_schedule
+
+    n_chips = jax.device_count()
+    mesh = create_mesh()
+    per_chip_bs = 128
+    bs = per_chip_bs * n_chips
+    size = 224
+
+    model = resnet50(dtype=jnp.bfloat16)
+    criterion = CrossEntropyLoss(smoothing=0.1)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9, "weight_decay": 3e-5})
+    sched = make_lr_schedule([dict(ep=(0, 90), lr=(1.0, 0.0), mode="cos")], steps_per_epoch=100)
+    train_step = jax.jit(
+        steps_lib.build_train_step(model, criterion, tx, sched, input_dtype=jnp.bfloat16),
+        donate_argnums=(0,),
+    )
+
+    rng = jax.random.PRNGKey(0)
+    state = steps_lib.init_state(model, tx, (bs, size, size, 3), rng, input_dtype=jnp.bfloat16)
+    state = jax.device_put(state, replicate(mesh))
+    sh = batch_sharding(mesh)
+    images = jax.device_put(jax.random.normal(rng, (bs, size, size, 3), jnp.bfloat16), sh)
+    labels = jax.device_put(jax.nn.one_hot(jnp.arange(bs) % 1000, 1000, dtype=jnp.float32), sh)
+    batch = {"image": images, "label": labels}
+
+    # warmup/compile
+    for _ in range(3):
+        state, metrics = train_step(state, batch, rng)
+    jax.block_until_ready(metrics)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, batch, rng)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = bs * iters / dt
+    img_per_sec_per_chip = img_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_train_images_per_sec_per_chip",
+                "value": round(img_per_sec_per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Host-side JPEG decode + geometric augmentation.
+
+Replaces DALI's GPU decode stage (reference dali_dataloader.py:65-79,145-148).
+TPUs have no nvJPEG, so decode stays on host CPUs; the tricks that keep it
+cheap:
+
+  * JPEG *draft mode*: libjpeg can decode directly at 1/2, 1/4, 1/8 scale from
+    the DCT coefficients. We decode at the smallest scale that still covers
+    the requested crop — the same idea as DALI's fused decode+random_crop.
+  * the random crop happens before the full-resolution resize, so the expensive
+    filter runs on crop-sized data only.
+
+Distributions match DALI's `decoders.image_random_crop`
+(dali_dataloader.py:65-72): aspect ~ U[0.75, 1.25] (uniform, NOT log-uniform
+like torchvision), area ~ U[min_area, 1.0], 100 attempts then center fallback.
+Interpolation: triangular == PIL BILINEAR (antialiased triangle filter),
+cubic == PIL BICUBIC; random_interpolation picks per-image 50/50
+(dali_dataloader.py:74-79).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+# normalization constants (reference dali_dataloader.py:27-29 — deliberately
+# NOT ImageNet stats: normalize to roughly [-2.5, 2.5])
+DATA_MEAN = 0.5 * 255.0
+DATA_STD = 0.2 * 255.0
+
+TRIANGULAR = Image.BILINEAR
+CUBIC = Image.BICUBIC
+
+
+def _open(src: Union[str, bytes]) -> Image.Image:
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return Image.open(io.BytesIO(src))
+    return Image.open(src)
+
+
+def sample_random_crop(
+    rng: np.random.Generator,
+    width: int,
+    height: int,
+    min_area: float = 0.08,
+    max_area: float = 1.0,
+    aspect_range: Tuple[float, float] = (0.75, 1.25),
+    num_attempts: int = 100,
+) -> Tuple[int, int, int, int]:
+    """(x, y, w, h) with DALI's distribution (dali_dataloader.py:65-72)."""
+    area = width * height
+    for _ in range(num_attempts):
+        target_area = rng.uniform(min_area, max_area) * area
+        aspect = rng.uniform(*aspect_range)
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            x = int(rng.integers(0, width - w + 1))
+            y = int(rng.integers(0, height - h + 1))
+            return x, y, w, h
+    # fallback: biggest valid center crop at aspect 1
+    s = min(width, height)
+    return (width - s) // 2, (height - s) // 2, s, s
+
+
+def decode_train(
+    src: Union[str, bytes],
+    rng: np.random.Generator,
+    image_size: int,
+    min_area: float = 0.08,
+    random_interpolation: bool = False,
+) -> np.ndarray:
+    """Decode + random-resized-crop to (image_size, image_size, 3) uint8."""
+    img = _open(src)
+    w0, h0 = img.size
+    x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
+    # draft-mode decode: smallest DCT scale whose crop still >= image_size
+    if img.format == "JPEG":
+        img.draft("RGB", (max(w0 * image_size // max(w, 1), 1), max(h0 * image_size // max(h, 1), 1)))
+        sw, sh = img.size
+        if (sw, sh) != (w0, h0):
+            sx, sy = sw / w0, sh / h0
+            x, y = int(x * sx), int(y * sy)
+            w, h = max(int(w * sx), 1), max(int(h * sy), 1)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    crop = img.crop((x, y, x + w, y + h))
+    if random_interpolation and rng.random() < 0.5:
+        interp = CUBIC
+    else:
+        interp = TRIANGULAR
+    out = crop.resize((image_size, image_size), interp)
+    return np.asarray(out, dtype=np.uint8)
+
+
+def val_resize_size(image_size: int, full_crop: bool = False) -> int:
+    """Shorter-side resize target (reference formula, dali_dataloader.py:147)."""
+    if full_crop:
+        return image_size
+    return int(math.ceil((image_size * 1.14 + 8) // 16 * 16))
+
+
+def decode_val(src: Union[str, bytes], image_size: int, full_crop: bool = False) -> np.ndarray:
+    """Decode → resize shorter side → center crop (dali_dataloader.py:145-158)."""
+    img = _open(src)
+    w0, h0 = img.size
+    resize_shorter = val_resize_size(image_size, full_crop)
+    if img.format == "JPEG":
+        scale = resize_shorter / min(w0, h0)
+        img.draft("RGB", (max(int(w0 * scale), 1), max(int(h0 * scale), 1)))
+        w0, h0 = img.size
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    scale = resize_shorter / min(w0, h0)
+    nw, nh = max(int(round(w0 * scale)), resize_shorter), max(int(round(h0 * scale)), resize_shorter)
+    img = img.resize((nw, nh), TRIANGULAR)
+    x = (nw - image_size) // 2
+    y = (nh - image_size) // 2
+    img = img.crop((x, y, x + image_size, y + image_size))
+    return np.asarray(img, dtype=np.uint8)

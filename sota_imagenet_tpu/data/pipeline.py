@@ -1,0 +1,303 @@
+"""Input pipeline: host loaders + device feed + stage manager.
+
+Layering (replaces DALI, reference dali_dataloader.py):
+
+  host loader (synthetic | folder | tfrecord)     — yields uint8 NHWC + int labels
+    └─ DeviceFeed: jitted on-device augmentation + sharded device_put + prefetch
+         └─ batches {'image': bf16 (B,H,W,3) sharded over mesh 'data', 'label': one-hot}
+
+Per-host sharding replaces per-rank DALI shards (dali_dataloader.py:47,130):
+each JAX process reads files[process_index::process_count]; the global batch
+is assembled with jax.make_array_from_process_local_data.
+
+DataManager mirrors DaliDataManager (dali_dataloader.py:189-239): progressive
+stages rebuild loaders only when `extra_args` change image size/batch/augs;
+val image size follows train (dali_dataloader.py:228).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from sota_imagenet_tpu.config import ConfigNode, DataStage, parse_stages
+from sota_imagenet_tpu.data import decode as D
+from sota_imagenet_tpu.ops.augment import build_train_augment, build_val_augment
+from sota_imagenet_tpu.parallel.mesh import batch_sharding
+from sota_imagenet_tpu.utils.logging import get_logger
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+# --------------------------------------------------------------------------- #
+# Host loaders: yield (images_u8 [B,H,W,3], labels int32 [B]) per-host batches
+# --------------------------------------------------------------------------- #
+
+
+class SyntheticLoader:
+    """Deterministic fake-data loader for tests/benches (no reference analog —
+    SURVEY.md §4 calls out the lack of fake backends as the gap to fix)."""
+
+    def __init__(self, batch_size: int, image_size: int, num_classes: int = 1000, length: int = 32, seed: int = 0):
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.length = length
+        rng = np.random.default_rng(seed)
+        # small pool of fake images reused across batches (keeps host cost ~0)
+        self._pool = rng.integers(0, 256, size=(4, batch_size, image_size, image_size, 3), dtype=np.uint8)
+        self._labels = rng.integers(0, num_classes, size=(4, batch_size), dtype=np.int32)
+
+    def __len__(self):
+        return self.length
+
+    def __iter__(self):
+        for i in range(self.length):
+            j = i % self._pool.shape[0]
+            yield self._pool[j], self._labels[j]
+
+
+def scan_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
+    """ImageFolder layout: root/<class>/<img>. Labels by sorted class dirs
+    (matches the reference synset->label rule, create_records.py:151-155)."""
+    classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    files, labels = [], []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fn in sorted(os.listdir(cdir)):
+            if fn.lower().endswith(IMG_EXTENSIONS):
+                files.append(os.path.join(cdir, fn))
+                labels.append(idx)
+    return files, labels, classes
+
+
+class FolderLoader:
+    """Parallel host decode over an ImageFolder tree (train or val)."""
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        is_train: bool,
+        batch_size: int,
+        image_size: int,
+        min_area: float = 0.08,
+        random_interpolation: bool = False,
+        full_crop: bool = False,
+        workers: int = 6,
+        seed: int = 42,
+        drop_last: bool = True,
+    ):
+        self.files, self.labels, self.classes = scan_image_folder(root)
+        self.is_train = is_train
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.min_area = min_area
+        self.random_interpolation = random_interpolation
+        self.full_crop = full_crop
+        self.workers = max(workers, 1)
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+        # per-host shard (replaces shard_id/num_shards, dali_dataloader.py:47)
+        pi, pc = jax.process_index(), jax.process_count()
+        self.shard_files = self.files[pi::pc]
+        self.shard_labels = self.labels[pi::pc]
+
+    def __len__(self):
+        n = len(self.shard_files) // self.batch_size
+        if not self.drop_last and len(self.shard_files) % self.batch_size:
+            n += 1
+        return n
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _decode_one(self, path: str, rng: np.random.Generator) -> np.ndarray:
+        if self.is_train:
+            return D.decode_train(
+                path, rng, self.image_size, min_area=self.min_area, random_interpolation=self.random_interpolation
+            )
+        return D.decode_val(path, self.image_size, full_crop=self.full_crop)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.shard_files))
+        if self.is_train:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        bs = self.batch_size
+        n_batches = len(self)
+        with ThreadPoolExecutor(self.workers) as pool:
+            for b in range(n_batches):
+                idxs = order[b * bs : (b + 1) * bs]
+                rngs = [np.random.default_rng((self.seed, self.epoch, int(i))) for i in idxs]
+                imgs = list(pool.map(lambda a: self._decode_one(self.shard_files[a[0]], a[1]), zip(idxs, rngs)))
+                labels = np.asarray([self.shard_labels[i] for i in idxs], dtype=np.int32)
+                if len(imgs) < bs:  # pad tail batch (only when drop_last=False)
+                    pad = bs - len(imgs)
+                    imgs += [imgs[-1]] * pad
+                    labels = np.concatenate([labels, np.full(pad, -1, np.int32)])
+                yield np.stack(imgs), labels
+        self.epoch += 1
+
+
+# --------------------------------------------------------------------------- #
+# Device feed
+# --------------------------------------------------------------------------- #
+
+
+class DeviceFeed:
+    """Wraps a host loader: device-side augment + sharded transfer + prefetch.
+
+    The returned iterator yields fully-sharded device batches; with
+    ``prefetch`` > 0 the next batch's transfer+augment is dispatched before the
+    current one is consumed, hiding host latency behind device compute (the
+    DALI worker-thread role, SURVEY.md §2.3).
+    """
+
+    def __init__(self, host_loader, mesh, augment_fn, rng: Optional[jax.Array] = None, prefetch: int = 2):
+        self.host = host_loader
+        self.mesh = mesh
+        self.augment = augment_fn
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.prefetch = max(prefetch, 1)
+        self._step = 0
+
+    @property
+    def batch_size(self):
+        return self.host.batch_size
+
+    def __len__(self):
+        return len(self.host)
+
+    def __iter__(self):
+        sh = batch_sharding(self.mesh)
+
+        def produce(item):
+            images_u8, labels = item
+            g_img = jax.make_array_from_process_local_data(sh, images_u8)
+            g_lab = jax.make_array_from_process_local_data(sh, labels)
+            self._step += 1
+            return self.augment(jax.random.fold_in(self.rng, self._step), g_img, g_lab)
+
+        it = iter(self.host)
+        pending = []
+        for item in it:
+            pending.append(produce(item))
+            if len(pending) > self.prefetch:
+                yield pending.pop(0)
+        for p in pending:
+            yield p
+
+
+# --------------------------------------------------------------------------- #
+# DataManager (reference DaliDataManager, dali_dataloader.py:189-239)
+# --------------------------------------------------------------------------- #
+
+
+def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
+    backend = loader_cfg.get("backend", "auto")
+    root = loader_cfg.get("root_data_dir", "")
+    if backend == "auto":
+        if loader_cfg.get("use_tfrecords", False):
+            backend = "tfrecord"
+        elif root and os.path.isdir(os.path.join(root, "train" if is_train else "val")):
+            backend = "folder"
+        else:
+            backend = "synthetic"
+    if backend == "synthetic":
+        return SyntheticLoader(
+            batch_size=loader_cfg.batch_size // max(jax.process_count(), 1),
+            image_size=loader_cfg.image_size,
+            num_classes=loader_cfg.num_classes,
+        )
+    if backend == "folder":
+        return FolderLoader(
+            os.path.join(root, "train" if is_train else "val"),
+            is_train=is_train,
+            batch_size=loader_cfg.batch_size // max(jax.process_count(), 1),
+            image_size=loader_cfg.image_size,
+            min_area=loader_cfg.get("min_area", 0.08),
+            random_interpolation=loader_cfg.get("random_interpolation", False),
+            full_crop=loader_cfg.get("full_crop", False),
+            workers=loader_cfg.get("workers", 6),
+        )
+    if backend == "tfrecord":
+        from sota_imagenet_tpu.data.records import TFRecordLoader
+
+        return TFRecordLoader(
+            root,
+            is_train=is_train,
+            batch_size=loader_cfg.batch_size // max(jax.process_count(), 1),
+            image_size=loader_cfg.image_size,
+            min_area=loader_cfg.get("min_area", 0.08),
+            random_interpolation=loader_cfg.get("random_interpolation", False),
+            full_crop=loader_cfg.get("full_crop", False),
+            workers=loader_cfg.get("workers", 6),
+        )
+    raise ValueError(f"unknown data backend {backend!r}")
+
+
+def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dtype=None):
+    host = _build_host_loader(loader_cfg, is_train)
+    import jax.numpy as jnp
+
+    dtype = out_dtype or jnp.bfloat16
+    if is_train:
+        aug = build_train_augment(
+            num_classes=loader_cfg.num_classes,
+            blur_prob=loader_cfg.get("blur_prob", 0.0),
+            gray_prob=loader_cfg.get("gray_prob", 0.0),
+            color_twist_prob=loader_cfg.get("color_twist_prob", 0.0),
+            contrast_range=tuple(loader_cfg.get("contrast_range", (0.7, 1.3))),
+            brightness_range=tuple(loader_cfg.get("brightness_range", (0.7, 1.3))),
+            re_prob=loader_cfg.get("re_prob", 0.0),
+            re_count=loader_cfg.get("re_count", 3),
+            out_dtype=dtype,
+        )
+    else:
+        aug = build_val_augment(num_classes=loader_cfg.num_classes, out_dtype=dtype)
+    return DeviceFeed(host, mesh, aug, rng=rng, prefetch=loader_cfg.get("prefetch", 2))
+
+
+class DataManager:
+    """Stage-based loader rebuild for progressive training
+    (reference DaliDataManager, dali_dataloader.py:189-239)."""
+
+    def __init__(self, cfg: ConfigNode, mesh, rng=None, out_dtype=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.rng = rng
+        self.out_dtype = out_dtype
+        self.stages: List[DataStage] = parse_stages(cfg.run.stages)
+        self.tot_epochs = max(s.end for s in self.stages)
+        self.loader = None
+        self.val_loader = None
+        self.start_epoch: Optional[int] = None
+        self.end_epoch: Optional[int] = None
+
+    def __len__(self):
+        return len(self.stages)
+
+    def set_stage(self, idx: int) -> None:
+        import copy
+
+        stage = self.stages[idx]
+        self.start_epoch = stage.start
+        self.end_epoch = stage.end
+        if stage.extra_args is None and self.loader is not None:
+            return  # only lr changed (dali_dataloader.py:217-218)
+        train_cfg = copy.deepcopy(self.cfg.loader)
+        val_cfg = copy.deepcopy(self.cfg.val_loader)
+        if stage.extra_args is not None:
+            for k, v in dict(stage.extra_args).items():
+                train_cfg[k] = v
+        val_cfg["image_size"] = train_cfg["image_size"]  # val follows train (dali_dataloader.py:228)
+        get_logger().info(f"Loader changed. New data config: image_size={train_cfg['image_size']} batch_size={train_cfg['batch_size']}")
+        self.loader = build_loader(train_cfg, self.mesh, is_train=True, rng=self.rng, out_dtype=self.out_dtype)
+        self.val_loader = build_loader(val_cfg, self.mesh, is_train=False, out_dtype=self.out_dtype)

@@ -1,0 +1,271 @@
+"""Normalization zoo (reference model.py:212-419 + ABN from pytorch_tools).
+
+All NHWC (channel = last axis). Running statistics live in the flax
+``batch_stats`` collection and are updated only when ``train=True``. Batch
+statistics are computed in float32 regardless of activation dtype.
+
+Cross-replica note: under jit with a global-view batch sharded on the data
+mesh axis, reductions over the batch dimension are global, so BatchNorm is
+*sync*-BN by construction — the TPU-idiomatic replacement for DDP's local BN
+(SURVEY.md §5.8). inplace-abn's memory trick is unnecessary on TPU: XLA fuses
+norm+activation and remat handles memory (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sota_imagenet_tpu.models.layers import activation_from_name
+
+Dtype = Any
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch-style momentum (reference patches momentum to
+    cfg.bn_momentum=0.1, train.py:76): new = (1-m)*old + m*batch."""
+
+    momentum: float = 0.1  # torch convention
+    eps: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,  # flax convention
+            epsilon=self.eps,
+            use_scale=self.use_scale,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ABN(nn.Module):
+    """Activated BatchNorm: BN + activation in one module (inplace-abn
+    equivalent; reference BResNet uses `norm_layer: inplaceabn` with
+    leaky_relu). XLA fuses the two ops; no custom kernel needed."""
+
+    activation: str = "leaky_relu"
+    momentum: float = 0.1
+    eps: float = 1e-5
+    frozen: bool = False  # `frozenabn`: always use running stats
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        x = nn.BatchNorm(
+            use_running_average=(not train) or self.frozen,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return activation_from_name(self.activation)(x)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, **_):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class ScaleNorm(nn.Module):
+    """x * scale / ||x||_channels (reference model.py:212-224)."""
+
+    eps: float = 1e-5
+    trainable: bool = True
+
+    @nn.compact
+    def __call__(self, x, **_):
+        if self.trainable:
+            scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
+        else:
+            scale = jnp.ones((1,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
+        out = xf * (scale / jnp.clip(norm, self.eps, None))
+        return out.astype(x.dtype)
+
+
+class Affine(nn.Module):
+    """x * value, optionally trainable (reference model.py:227-240)."""
+
+    value: float = 1.0
+    trainable: bool = False
+
+    @nn.compact
+    def __call__(self, x, **_):
+        if self.trainable:
+            v = self.param("value", nn.initializers.constant(self.value), (), jnp.float32)
+        else:
+            v = jnp.asarray(self.value, jnp.float32)
+        return x * v.astype(x.dtype)
+
+
+class Gain(nn.Module):
+    """Per-channel learnable gain, init 1 (reference model.py:243-253).
+    Excluded from weight decay via `filter_from_wd: [gain]`."""
+
+    size: int = 0
+
+    @nn.compact
+    def __call__(self, x, **_):
+        gain = self.param("gain", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        return x * gain.astype(x.dtype)
+
+
+def _clamped_ratio(num: jnp.ndarray, den: jnp.ndarray, lo: float = 0.2, hi: float = 5.0) -> jnp.ndarray:
+    """Batch-ReNorm style correction factor, detached (reference clamps 1/5..5,
+    model.py:262,298,307,378)."""
+    return jax.lax.stop_gradient(jnp.clip(num / den, lo, hi))
+
+
+class FRNv1(nn.Module):
+    """Filter Response Norm v1 (reference model.py:256-289): per-channel batch
+    RMS + re-normalization against a running RMS so train/val distributions
+    match. Affine weight/bias."""
+
+    num_features: int = 0
+    eps: float = 1e-5
+    momentum: float = 0.95  # EMA decay of the running RMS
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32) if self.use_bias else 0.0
+        running = self.variable("batch_stats", "running_var", lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            x2 = jnp.mean(xf**2, axis=(0, 1, 2))  # per-channel batch RMS²
+            y = xf * jax.lax.rsqrt(x2 + self.eps)
+            if not self.is_initializing():
+                running.value = self.momentum * running.value + (1 - self.momentum) * jax.lax.stop_gradient(x2)
+            r = _clamped_ratio(jnp.sqrt(x2 + self.eps), jnp.sqrt(running.value))
+            y = y * r
+        else:
+            y = xf * jax.lax.rsqrt(running.value + self.eps)
+        return (y * weight + bias).astype(x.dtype)
+
+
+class FRNv2(nn.Module):
+    """FRN v2 (reference model.py:292-345): per-sample LN-RMS then per-sample
+    per-channel IN-RMS, each re-normalized by running batch averages. No batch
+    dependence at inference."""
+
+    num_features: int = 0
+    eps: float = 1e-5
+    momentum: float = 0.95
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        single_running = self.variable("batch_stats", "single_running_var", lambda: jnp.ones((), jnp.float32))
+        running = self.variable("batch_stats", "running_var", lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            x2_ln = jnp.mean(xf**2, axis=(1, 2, 3), keepdims=True)  # per-sample
+            y = xf * jax.lax.rsqrt(x2_ln + self.eps)
+            if not self.is_initializing():
+                single_running.value = self.momentum * single_running.value + (1 - self.momentum) * jax.lax.stop_gradient(jnp.mean(x2_ln))
+            y = y * _clamped_ratio(jnp.sqrt(x2_ln + self.eps), jnp.sqrt(single_running.value))
+            x2_in = jnp.mean(y**2, axis=(1, 2), keepdims=True)  # per-sample, per-channel
+            y = y * jax.lax.rsqrt(x2_in + self.eps)
+            if not self.is_initializing():
+                running.value = self.momentum * running.value + (1 - self.momentum) * jax.lax.stop_gradient(jnp.mean(x2_in, axis=0).reshape(c))
+            y = y * _clamped_ratio(jnp.sqrt(x2_in + self.eps), jnp.sqrt(running.value))
+        else:
+            y = xf * jax.lax.rsqrt(single_running.value + self.eps) * jax.lax.rsqrt(running.value + self.eps)
+        return (y * weight + bias).astype(x.dtype)
+
+
+class VarEMA(nn.Module):
+    """Normalize by an EMA of the (global) std, Batch-ReNorm style clamp
+    (reference model.py:348-383). The reference computes *scalar* std/mean
+    (its per-channel line is immediately overwritten, model.py:366-367); we
+    reproduce that effective behavior with scalar running stats.
+
+    ``use=False`` turns it into a pure monitor (stats recorded, identity fwd).
+    """
+
+    n_channels: int = 0  # accepted for config parity; stats are scalar
+    use: bool = True
+    decay: float = 0.95
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        std_ema = self.variable("batch_stats", "std_ema", lambda: jnp.ones((), jnp.float32))
+        mean_ema = self.variable("batch_stats", "mean_ema", lambda: jnp.zeros((), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            std = jnp.std(xf)
+            mean = jnp.mean(xf)
+            if not self.is_initializing():
+                std_ema.value = self.decay * std_ema.value + (1 - self.decay) * jax.lax.stop_gradient(std)
+                mean_ema.value = self.decay * mean_ema.value + (1 - self.decay) * jax.lax.stop_gradient(mean)
+            if not self.use:
+                return x
+            r = _clamped_ratio(std, std_ema.value)
+            return (xf / (std + self.eps) * r).astype(x.dtype)
+        if not self.use:
+            return x
+        return (xf / std_ema.value).astype(x.dtype)
+
+
+class MeanEMA(nn.Module):
+    """Per-sample centering (reference model.py:403-419 — its EMA path is
+    commented out; effective forward is x - mean(x, per-sample))."""
+
+    decay: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, **_):
+        xf = x.astype(jnp.float32)
+        return (xf - jnp.mean(xf, axis=(1, 2, 3), keepdims=True)).astype(x.dtype)
+
+
+class Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x, **_):
+        return x
+
+
+_NORMS = {
+    "bn": BatchNorm,
+    "batchnorm": BatchNorm,
+    "abn": ABN,
+    "inplaceabn": ABN,  # fused by XLA on TPU (SURVEY.md §2.3)
+    "frozenabn": lambda **kw: ABN(frozen=True, **kw),
+    "gn": GroupNorm,
+    "groupnorm": GroupNorm,
+    "frn": FRNv1,
+    "frnv1": FRNv1,
+    "frnv2": FRNv2,
+    "varema": VarEMA,
+    "scalenorm": ScaleNorm,
+    "meanema": MeanEMA,
+    "none": Identity,
+    "identity": Identity,
+}
+
+
+def norm_from_name(name: str) -> Callable[..., nn.Module]:
+    key = name.strip().strip("'\"").lower()
+    if key not in _NORMS:
+        raise KeyError(f"unknown norm {name!r}; known: {sorted(_NORMS)}")
+    return _NORMS[key]

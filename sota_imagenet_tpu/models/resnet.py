@@ -1,0 +1,240 @@
+"""ResNet family, NHWC/bfloat16, torchvision-compatible semantics.
+
+Replaces the reference's external model zoo surface (`pytorch_tools.models.
+resnet50/resnet18`, reference arg_parser.py:126 and 21+ configs) including the
+"BResNet" variant options recorded in
+configs/_old_configs/_first_attempts/BResNet50_encoder.yaml:42-52:
+space2depth/deep stem, antialias (BlurPool), ECA attention, activated-BN with
+leaky_relu, drop-path and dropout.
+
+TPU notes: stride-2 convs and the 7x7 stem lower straight onto the MXU via
+XLA's NHWC conv path; BN+ReLU fuse; drop-path uses functional RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sota_imagenet_tpu.models.attention import get_attn
+from sota_imagenet_tpu.models.layers import (
+    BlurPool,
+    Conv,
+    DropPath,
+    Dropout,
+    SpaceToDepth,
+    activation_from_name,
+    max_pool,
+)
+from sota_imagenet_tpu.models.norms import BatchNorm
+
+Dtype = Any
+
+
+class _NormAct(nn.Module):
+    """BN + activation (ABN-style); `activation='identity'` for plain BN."""
+
+    activation: str = "relu"
+    momentum: float = 0.1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BatchNorm(momentum=self.momentum, dtype=self.dtype)(x, train=train)
+        return activation_from_name(self.activation)(x)
+
+
+class BasicBlock(nn.Module):
+    planes: int = 64
+    stride: int = 1
+    downsample: bool = False
+    norm_act: str = "relu"
+    antialias: bool = False
+    attn_type: Optional[str] = None
+    keep_prob: float = 1.0
+    dtype: Dtype = None
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p, dt = self.planes, self.dtype
+        conv_stride = 1 if self.antialias else self.stride
+        out = Conv(out_chs=p, kernel_size=3, stride=conv_stride, padding=1, use_bias=False, dtype=dt)(x)
+        if self.antialias and self.stride == 2:
+            out = BlurPool()(out)
+        out = _NormAct(activation=self.norm_act, dtype=dt)(out, train=train)
+        out = Conv(out_chs=p, kernel_size=3, padding=1, use_bias=False, dtype=dt)(out)
+        out = BatchNorm(dtype=dt)(out, train=train)
+        if self.attn_type:
+            out = get_attn(self.attn_type)(p)(out)
+        out = DropPath(keep_prob=self.keep_prob)(out, train=train)
+        res = x
+        if self.downsample:
+            if self.antialias and self.stride == 2:
+                res = BlurPool()(res)
+                res = Conv(out_chs=p, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
+            else:
+                res = Conv(out_chs=p, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
+            res = BatchNorm(dtype=dt, name="down_bn")(res, train=train)
+        return activation_from_name(self.norm_act)(out + res)
+
+
+class Bottleneck(nn.Module):
+    planes: int = 64
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    norm_act: str = "relu"
+    antialias: bool = False
+    attn_type: Optional[str] = None
+    keep_prob: float = 1.0
+    dtype: Dtype = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_chs = self.planes * self.expansion
+        out = Conv(out_chs=width, kernel_size=1, padding=0, use_bias=False, dtype=dt)(x)
+        out = _NormAct(activation=self.norm_act, dtype=dt)(out, train=train)
+        conv_stride = 1 if self.antialias else self.stride
+        out = Conv(out_chs=width, kernel_size=3, stride=conv_stride, padding=1, groups=self.groups, use_bias=False, dtype=dt)(out)
+        if self.antialias and self.stride == 2:
+            out = BlurPool()(out)
+        out = _NormAct(activation=self.norm_act, dtype=dt)(out, train=train)
+        out = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt)(out)
+        out = BatchNorm(dtype=dt)(out, train=train)
+        if self.attn_type:
+            out = get_attn(self.attn_type)(out_chs)(out)
+        out = DropPath(keep_prob=self.keep_prob)(out, train=train)
+        res = x
+        if self.downsample:
+            if self.antialias and self.stride == 2:
+                res = BlurPool()(res)
+                res = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
+            else:
+                res = Conv(out_chs=out_chs, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
+            res = BatchNorm(dtype=dt, name="down_bn")(res, train=train)
+        return activation_from_name(self.norm_act)(out + res)
+
+
+class ResNet(nn.Module):
+    """Configurable ResNet (torchvision layout + BResNet options)."""
+
+    block: type = Bottleneck
+    layers: Sequence[int] = (3, 4, 6, 3)
+    num_classes: int = 1000
+    groups: int = 1
+    base_width: int = 64
+    stem_type: str = ""  # "" | "deep" | "space2depth"
+    norm_act: str = "relu"
+    antialias: bool = False
+    attn_type: Optional[str] = None
+    drop_rate: float = 0.0
+    drop_connect_rate: float = 0.0
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        # --- stem ---
+        if self.stem_type == "space2depth":
+            x = SpaceToDepth(block_size=4)(x)  # 3 -> 48 chs, /4 spatial
+            x = Conv(out_chs=64, kernel_size=3, padding=1, use_bias=False, dtype=dt, name="stem_conv")(x)
+            x = _NormAct(activation=self.norm_act, dtype=dt, name="stem_bn")(x, train=train)
+        elif self.stem_type == "deep":
+            for i, chs in enumerate((32, 32, 64)):
+                x = Conv(out_chs=chs, kernel_size=3, stride=2 if i == 0 else 1, padding=1, use_bias=False, dtype=dt, name=f"stem_conv{i}")(x)
+                x = _NormAct(activation=self.norm_act, dtype=dt, name=f"stem_bn{i}")(x, train=train)
+            x = max_pool(x, 3, 2, 1)
+        else:
+            x = Conv(out_chs=64, kernel_size=7, stride=2, padding=3, use_bias=False, dtype=dt, name="stem_conv")(x)
+            x = _NormAct(activation=self.norm_act, dtype=dt, name="stem_bn")(x, train=train)
+            x = max_pool(x, 3, 2, 1)
+
+        # --- stages ---
+        total_blocks = sum(self.layers)
+        block_idx = 0
+        in_chs = 64
+        for stage, n_blocks in enumerate(self.layers):
+            planes = 64 * (2**stage)
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                downsample = stride != 1 or in_chs != planes * self.block.expansion
+                # linearly-increasing drop-path (timm convention)
+                keep_prob = 1.0 - self.drop_connect_rate * block_idx / max(total_blocks - 1, 1)
+                x = self.block(
+                    planes=planes,
+                    stride=stride,
+                    downsample=downsample,
+                    norm_act=self.norm_act,
+                    antialias=self.antialias,
+                    attn_type=self.attn_type,
+                    keep_prob=keep_prob if self.drop_connect_rate > 0 else 1.0,
+                    dtype=dt,
+                    name=f"layer{stage + 1}_{b}",
+                    **({"groups": self.groups, "base_width": self.base_width} if self.block is Bottleneck else {}),
+                )(x, train=train)
+                in_chs = planes * self.block.expansion
+                block_idx += 1
+
+        # --- head ---
+        x = jnp.mean(x, axis=(1, 2))
+        x = Dropout(rate=self.drop_rate)(x, train=train)
+        x = nn.Dense(
+            self.num_classes,
+            dtype=dt,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.01),
+            name="fc",
+        )(x)
+        return x.astype(jnp.float32)
+
+
+def _resnet(block, layers, **kwargs):
+    kwargs.pop("pretrained", None)  # no hub on TPU pods; checkpoints via orbax
+    return ResNet(block=block, layers=tuple(layers), **kwargs)
+
+
+def resnet18(**kwargs):
+    """torchvision-arch ResNet-18 (reference default model, arg_parser.py:126)."""
+    return _resnet(BasicBlock, (2, 2, 2, 2), **kwargs)
+
+
+def resnet34(**kwargs):
+    return _resnet(BasicBlock, (3, 4, 6, 3), **kwargs)
+
+
+def resnet50(**kwargs):
+    """torchvision-arch ResNet-50 — the 77.1% baseline (reference README.md:42,
+    configs/hydra_exp/1.r50_baseline.yaml)."""
+    return _resnet(Bottleneck, (3, 4, 6, 3), **kwargs)
+
+
+def resnet101(**kwargs):
+    return _resnet(Bottleneck, (3, 4, 23, 3), **kwargs)
+
+
+def bresnet50(**kwargs):
+    """BResNet-50: the 81.4% "ultimate encoder" recipe's architecture
+    (BResNet50_encoder.yaml:42-52): s2d stem + BlurPool + ECA + leaky ABN +
+    drop-path/dropout."""
+    defaults = dict(
+        stem_type="space2depth",
+        antialias=True,
+        attn_type="eca",
+        norm_act="leaky_relu",
+        drop_rate=0.2,
+        drop_connect_rate=0.2,
+    )
+    defaults.update(kwargs)
+    return _resnet(Bottleneck, (3, 4, 6, 3), **defaults)

@@ -1,0 +1,166 @@
+"""On-device augmentation (the DALI GPU-augment replacement).
+
+The host ships raw uint8 NHWC crops (cheap PCIe transfer); everything
+pixel-math runs on the TPU inside one jitted function that XLA fuses into a
+few VPU kernels: coin-flip mirror, color twist, grayscale, gaussian blur,
+random erase, normalize, one-hot — mirroring the reference train pipeline
+ops (dali_dataloader.py:81-123) with the same parameter distributions.
+
+Per-sample randomness comes from vmapped `jax.random` keys — functional and
+reproducible across restarts (the DALI pipeline's RNG was stateful).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sota_imagenet_tpu.data.decode import DATA_MEAN, DATA_STD
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    rc = (maxc - r) / jnp.maximum(delta, 1e-8)
+    gc = (maxc - g) / jnp.maximum(delta, 1e-8)
+    bc = (maxc - b) / jnp.maximum(delta, 1e-8)
+    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _color_twist(key, img, contrast_range, brightness_range):
+    """DALI color_twist (dali_dataloader.py:85-94): brightness/contrast
+    multiplicative, hue in degrees, saturation multiplicative."""
+    kb, kc, kh, ks = jax.random.split(key, 4)
+    brightness = jax.random.uniform(kb, (), minval=brightness_range[0], maxval=brightness_range[1])
+    contrast = jax.random.uniform(kc, (), minval=contrast_range[0], maxval=contrast_range[1])
+    hue_deg = jax.random.uniform(kh, (), minval=-20.0, maxval=20.0)
+    saturation = jax.random.uniform(ks, (), minval=0.7, maxval=1.3)
+    # brightness & contrast (DALI: out = brightness*(contrast*(in - gray) + gray), gray=128)
+    img = brightness * (contrast * (img - 128.0) + 128.0)
+    img = jnp.clip(img, 0.0, 255.0)
+    # hue + saturation in HSV
+    hsv = _rgb_to_hsv(img / 255.0)
+    h = (hsv[..., 0] + hue_deg / 360.0) % 1.0
+    s = jnp.clip(hsv[..., 1] * saturation, 0.0, 1.0)
+    img = _hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1)) * 255.0
+    return img
+
+
+def _grayscale(img):
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    return jnp.stack([luma, luma, luma], axis=-1)
+
+
+def _gaussian_blur(img, sigma, window: int = 11):
+    """Separable gaussian blur, window 11 (dali_dataloader.py:82)."""
+    r = window // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * (xs / jnp.maximum(sigma, 1e-3)) ** 2)
+    kern = kern / jnp.sum(kern)
+    # img: (H, W, 3); blur H then W via conv1d per axis
+    def conv_axis(x, axis):
+        x = jnp.moveaxis(x, axis, -1)  # (..., L)
+        shape = x.shape
+        flat = x.reshape(-1, 1, shape[-1])  # NCW
+        out = jax.lax.conv_general_dilated(
+            flat, kern.reshape(1, 1, window), (1,), ((r, r),), dimension_numbers=("NCW", "OIW", "NCW")
+        )
+        return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+    return conv_axis(conv_axis(img, 0), 1)
+
+
+def _random_erase(key, img, re_count: int, fill: float):
+    """DALI fn.erase with normalized anchor/shape (dali_dataloader.py:100-110):
+    re_count boxes, anchor ~ U[0,1], shape ~ U[0.05,0.25]."""
+    h, w = img.shape[0], img.shape[1]
+    ka, ks = jax.random.split(key)
+    anchors = jax.random.uniform(ka, (re_count, 2))
+    shapes = jax.random.uniform(ks, (re_count, 2), minval=0.05, maxval=0.25)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] / h
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] / w
+    mask = jnp.zeros((h, w), dtype=bool)
+    for i in range(re_count):
+        ay, ax = anchors[i, 0], anchors[i, 1]
+        sy, sx = shapes[i, 0], shapes[i, 1]
+        box = (yy >= ay) & (yy < ay + sy) & (xx >= ax) & (xx < ax + sx)
+        mask = mask | box
+    return jnp.where(mask[..., None], fill, img)
+
+
+def build_train_augment(
+    *,
+    num_classes: int = 1000,
+    blur_prob: float = 0.0,
+    gray_prob: float = 0.0,
+    color_twist_prob: float = 0.0,
+    contrast_range: Tuple[float, float] = (0.7, 1.3),
+    brightness_range: Tuple[float, float] = (0.7, 1.3),
+    re_prob: float = 0.0,
+    re_count: int = 3,
+    out_dtype=jnp.bfloat16,
+) -> Callable:
+    """Returns jitted fn(rng, images_u8, labels) -> {'image', 'label'}."""
+
+    def per_sample(key, img_u8):
+        img = img_u8.astype(jnp.float32)
+        keys = jax.random.split(key, 6)
+        if blur_prob > 0:
+            sigma = jax.random.uniform(keys[1], (), minval=0.5, maxval=1.1)
+            blurred = _gaussian_blur(img, sigma)
+            img = jnp.where(jax.random.bernoulli(keys[0], blur_prob), blurred, img)
+        if color_twist_prob > 0:
+            twisted = _color_twist(keys[2], img, contrast_range, brightness_range)
+            img = jnp.where(jax.random.bernoulli(jax.random.fold_in(keys[2], 1), color_twist_prob), twisted, img)
+        if gray_prob > 0:
+            img = jnp.where(jax.random.bernoulli(keys[3], gray_prob), _grayscale(img), img)
+        if re_prob > 0:
+            erased = _random_erase(keys[4], img, re_count, DATA_MEAN)
+            img = jnp.where(jax.random.bernoulli(jax.random.fold_in(keys[4], 1), re_prob), erased, img)
+        # mirror (crop_mirror_normalize, dali_dataloader.py:113-122)
+        mirrored = img[:, ::-1, :]
+        img = jnp.where(jax.random.bernoulli(keys[5], 0.5), mirrored, img)
+        return (img - DATA_MEAN) / DATA_STD
+
+    @jax.jit
+    def augment(rng, images_u8, labels):
+        keys = jax.random.split(rng, images_u8.shape[0])
+        images = jax.vmap(per_sample)(keys, images_u8).astype(out_dtype)
+        onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+        return {"image": images, "label": onehot}
+
+    return augment
+
+
+def build_val_augment(*, num_classes: int = 1000, out_dtype=jnp.bfloat16) -> Callable:
+    @jax.jit
+    def augment(rng, images_u8, labels):
+        del rng  # uniform signature with the train augment
+        images = ((images_u8.astype(jnp.float32) - DATA_MEAN) / DATA_STD).astype(out_dtype)
+        onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+        return {"image": images, "label": onehot}
+
+    return augment

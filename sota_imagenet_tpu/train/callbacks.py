@@ -1,0 +1,375 @@
+"""Callback system (reference pytorch_tools fit_wrapper callbacks + custom
+callbacks.py).
+
+Two kinds, reflecting the TPU split:
+
+  * host callbacks — logging, checkpointing, timing, TensorBoard histograms:
+    run between jitted steps, observe ``runner`` (epoch, meters, state);
+  * step contributors — things the reference did by mutating runner state
+    inside the hot loop (CutmixMixup batch mutation, SAM double backward,
+    auxiliary losses added to the criterion): here they *contribute options to
+    the jitted train step* via ``step_options()``, so the hot loop stays one
+    fused XLA program.
+
+Rank-zero gating (reference ``rank_zero_only``) is `jax.process_index() == 0`.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sota_imagenet_tpu import registry
+from sota_imagenet_tpu.train.steps import cutmix_mixup
+from sota_imagenet_tpu.utils.logging import get_logger
+
+
+def is_master() -> bool:
+    return jax.process_index() == 0
+
+
+class Callback:
+    """Base/no-op callback (also aliased to the reference's
+    pytorch_tools...Callback so configs with placeholder entries work)."""
+
+    runner = None  # set by Runner
+
+    def set_runner(self, runner):
+        self.runner = runner
+
+    # host hooks
+    def on_begin(self):
+        pass
+
+    def on_epoch_begin(self, epoch: int):
+        pass
+
+    def on_batch_end(self, step: int, metrics: Dict[str, float]):
+        pass
+
+    def on_epoch_end(self, epoch: int, train_metrics: Dict[str, float], val_metrics: Optional[Dict[str, float]]):
+        pass
+
+    def on_end(self):
+        pass
+
+    # contributions to the jitted step (mixup_fn / sam / aux_loss)
+    def step_options(self) -> Dict[str, Any]:
+        return {}
+
+
+class CutmixMixup(Callback):
+    """Random cutmix-or-mixup per batch (reference callbacks.py:232-247) —
+    runs on device inside the train step."""
+
+    def __init__(self, cutmix_alpha: float = 1.0, mixup_alpha: float = 0.2, prob: float = 0.5):
+        self.cutmix_alpha = cutmix_alpha
+        self.mixup_alpha = mixup_alpha
+        self.prob = prob
+
+    def step_options(self):
+        import functools
+
+        return {
+            "mixup_fn": functools.partial(
+                cutmix_mixup, cutmix_alpha=self.cutmix_alpha, mixup_alpha=self.mixup_alpha, prob=self.prob
+            )
+        }
+
+
+class SAMOriginal(Callback):
+    """ASAM à la SamsungLabs (reference callbacks.py:279-337) as a second grad
+    inside the jitted step."""
+
+    def __init__(self, rho: float = 0.5, eta: float = 0.01):
+        self.rho, self.eta = rho, eta
+
+    def step_options(self):
+        return {"sam": {"kind": "sam_original", "rho": self.rho, "eta": self.eta}}
+
+
+class SAM(Callback):
+    """Layer-wise / unit-wise SAM (reference callbacks.py:339-419)."""
+
+    def __init__(self, unitwise: bool = False, rho: float = 0.01):
+        self.unitwise, self.rho = unitwise, rho
+
+    def step_options(self):
+        return {"sam": {"kind": "asam_unitwise" if self.unitwise else "asam", "rho": self.rho}}
+
+
+# --------------------------------------------------------------------------- #
+# Auxiliary losses (reference callbacks.py:126-229) — pure functions of params
+# --------------------------------------------------------------------------- #
+
+
+def _iter_matrices(params):
+    """(path, kernel-as-matrix (out, fan_in)) for conv (HWIO) + dense kernels."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if leaf.ndim == 4:  # HWIO conv kernel -> (O, H*W*I)
+            yield name, jnp.transpose(leaf, (3, 0, 1, 2)).reshape(leaf.shape[3], -1)
+        elif leaf.ndim == 2 and "kernel" in name:  # dense (in, out) -> (O, I)
+            yield name, leaf.T
+
+
+class OrthoLossClb(Callback):
+    """Kernel (type 1) or convolutional (type 2) orthogonality loss added to
+    the criterion (reference OrthoLoss/OrthoLoss2 + OrthoLossClb,
+    callbacks.py:126-203)."""
+
+    def __init__(self, weight: float = 0.01, type: int = 1, eps: float = 1e-2, min_filters: int = 384, min_norm: float = 1.0, **_):
+        self.weight = weight
+        self.type = type
+        self.eps = eps
+        self.min_filters = min_filters
+        self.min_norm = min_norm
+
+    def step_options(self):
+        if self.type == 1:
+            def aux(params):
+                loss = jnp.asarray(0.0, jnp.float32)
+                for _, mat in _iter_matrices(params):
+                    o, f = mat.shape
+                    if o > f or o < self.min_filters:
+                        continue  # can't orthonormalize more filters than dims (callbacks.py:143-146)
+                    m = mat.astype(jnp.float32)
+                    corr = m @ m.T - jnp.eye(o, dtype=jnp.float32)
+                    n = jnp.linalg.norm(corr)
+                    loss = loss + jnp.where(n / o > self.min_norm, n, 0.0)
+                return loss * self.weight
+
+            return {"aux_loss": aux}
+
+        def aux2(params):
+            # conv-orthogonality (reference OrthoLoss2, callbacks.py:159-188)
+            loss = jnp.asarray(0.0, jnp.float32)
+            flat, _ = jax.tree_util.tree_flatten_with_path(params)
+            for path, w in flat:
+                if w.ndim != 4 or w.shape[3] > w.shape[0] * w.shape[1] * w.shape[2]:
+                    continue
+                k = w.shape[0]
+                w32 = w.astype(jnp.float32)
+                inp = jnp.transpose(w32, (3, 0, 1, 2))  # (O,kh,kw,I) as NHWC
+                corr = jax.lax.conv_general_dilated(
+                    inp, w32, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+                )  # (O, 2k-1, 2k-1, O)
+                mat = jnp.transpose(w32, (3, 0, 1, 2)).reshape(w32.shape[3], -1)
+                norms2 = jnp.sum(mat**2, axis=-1).reshape(-1, 1, 1, 1)
+                corr = corr / (norms2 + 1e-4)
+                target = jnp.zeros_like(corr).at[:, k - 1, k - 1, :].set(jnp.eye(corr.shape[0]))
+                loss = loss + jnp.linalg.norm(corr - target)
+            return loss * self.weight
+
+        return {"aux_loss": aux2}
+
+
+class NormLossClb(Callback):
+    """(1 - ||filter||)^2 regularizer (reference NormLoss, callbacks.py:206-229)."""
+
+    def __init__(self, weight: float = 1e-4):
+        self.weight = weight
+
+    def step_options(self):
+        def aux(params):
+            loss = jnp.asarray(0.0, jnp.float32)
+            for _, mat in _iter_matrices(params):
+                if mat.size < 64:
+                    continue  # skip tiny weights, e.g. ECA (callbacks.py:215)
+                norms = jnp.linalg.norm(mat.astype(jnp.float32), axis=-1)
+                loss = loss + jnp.mean((1.0 - norms) ** 2)
+            return loss * self.weight
+
+        return {"aux_loss": aux}
+
+
+class OrthoInitClb(Callback):
+    """Orthogonal (re)initialization of conv/dense kernels at on_begin
+    (reference callbacks.py:250-266)."""
+
+    def __init__(self, gain: float = 1.0):
+        self.gain = gain
+        self._done = False
+
+    def on_begin(self):
+        if self._done or self.runner is None:
+            return
+        self._done = True
+        get_logger().info("Applying orthogonal initialization")
+        rng = jax.random.PRNGKey(0)
+        init = jax.nn.initializers.orthogonal(scale=self.gain)
+
+        def reinit(path, leaf):
+            nonlocal rng
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if leaf.ndim >= 2 and "kernel" in name:
+                rng, sub = jax.random.split(rng)
+                try:
+                    return init(sub, leaf.shape, leaf.dtype)
+                except Exception:
+                    return leaf
+            return leaf
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.runner.state.params)
+        new_leaves = [reinit(p, l) for p, l in flat]
+        self.runner.state = self.runner.state.replace(params=jax.tree_util.tree_unflatten(treedef, new_leaves))
+
+
+# --------------------------------------------------------------------------- #
+# Host-side observability callbacks
+# --------------------------------------------------------------------------- #
+
+
+class ConsoleLogger(Callback):
+    """Epoch summary lines (reference ConsoleLogger + FileLogger; both write
+    through the shared logger, which already has stdout+file sinks)."""
+
+    def on_epoch_end(self, epoch, train_metrics, val_metrics):
+        if not is_master():
+            return
+        log = get_logger()
+        tm = " | ".join(f"{k}: {v:.4f}" for k, v in train_metrics.items() if k in ("loss", "Acc@1", "Acc@5"))
+        log.info(f"Epoch {epoch:3d} | Train {tm}")
+        if val_metrics:
+            vm = " | ".join(f"{k}: {v:.4f}" for k, v in val_metrics.items() if k in ("loss", "Acc@1", "Acc@5"))
+            log.info(f"Epoch {epoch:3d} | Val   {vm}")
+
+
+class Timer(Callback):
+    """Per-epoch wall-clock + images/sec (reference Timer, train.py:137)."""
+
+    def on_epoch_begin(self, epoch):
+        self._t0 = time.time()
+        self._images = 0
+
+    def on_batch_end(self, step, metrics):
+        self._images += getattr(self.runner, "batch_size", 0) if self.runner else 0
+
+    def on_epoch_end(self, epoch, train_metrics, val_metrics):
+        if not is_master():
+            return
+        dt = time.time() - self._t0
+        ips = self._images / dt if dt > 0 else 0.0
+        get_logger().info(f"Epoch {epoch:3d} | {dt:.1f}s | {ips:.1f} img/s")
+
+
+class CheckpointSaver(Callback):
+    """Save TrainState each epoch (reference CheckpointSaver, train.py:134).
+    EMA lives inside TrainState — no ordering constraint needed."""
+
+    def __init__(self, save_dir: str = ".", save_name: str = "model.ckpt", include_optimizer: bool = False):
+        self.save_dir = save_dir
+        self.save_name = save_name
+        self.include_optimizer = include_optimizer
+
+    def on_epoch_end(self, epoch, train_metrics, val_metrics):
+        if self.runner is None:
+            return
+        from sota_imagenet_tpu.train.checkpoint import save_checkpoint
+
+        state = self.runner.state
+        if not self.include_optimizer:
+            state = state.replace(opt_state=None)  # halves the file (reference log.save_optim)
+        os.makedirs(self.save_dir, exist_ok=True)
+        save_checkpoint(self.save_dir, state, epoch, name=self.save_name)
+
+
+class TensorBoard(Callback):
+    """Scalar logging every N steps (reference TensorBoard, train.py:139)."""
+
+    def __init__(self, log_dir: str = ".", log_every: int = 50):
+        self.log_dir = log_dir
+        self.log_every = log_every
+        self.writer = None
+
+    def on_begin(self):
+        if not is_master():
+            return
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(self.log_dir)
+
+    def on_batch_end(self, step, metrics):
+        if self.writer is None or step % self.log_every:
+            return
+        for k, v in metrics.items():
+            self.writer.add_scalar(f"train/{k}", float(v), step)
+
+    def on_epoch_end(self, epoch, train_metrics, val_metrics):
+        if self.writer is None:
+            return
+        for k, v in (val_metrics or {}).items():
+            self.writer.add_scalar(f"val/{k}", float(v), epoch)
+
+    def on_end(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+class WeightDistributionTB(Callback):
+    """Per-epoch weight histograms (reference callbacks.py:11-17)."""
+
+    def on_epoch_begin(self, epoch):
+        tb = getattr(self.runner, "tb_writer", None) if self.runner else None
+        if tb is None or not is_master():
+            return
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.runner.state.params)
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            tb.add_histogram(f"model/{name}", np.asarray(leaf).ravel(), epoch)
+
+
+class SpectralDistributionTB(Callback):
+    """Singular-value spectra of conv/fc kernels (reference callbacks.py:20-28)."""
+
+    def on_epoch_begin(self, epoch):
+        tb = getattr(self.runner, "tb_writer", None) if self.runner else None
+        if tb is None or not is_master():
+            return
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.runner.state.params)
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if leaf.ndim < 2 or "kernel" not in name:
+                continue
+            mat = np.asarray(leaf).reshape(-1, leaf.shape[-1]).T
+            spec = np.linalg.svd(mat, compute_uv=False)
+            tb.add_histogram(f"spectrum/{name}", spec, epoch)
+
+
+class GradDistributionTB(Callback):
+    """log10 |params| and |optimizer state| distributions
+    (reference callbacks.py:30-60)."""
+
+    def __init__(self, log_every: int = 500, subsample: int = 10):
+        self.log_every = log_every
+        self.subsample = subsample
+
+    def on_batch_end(self, step, metrics):
+        tb = getattr(self.runner, "tb_writer", None) if self.runner else None
+        if tb is None or step % self.log_every or not is_master():
+            return
+        leaves = jax.tree_util.tree_leaves(self.runner.state.params)
+        vals = np.concatenate([np.abs(np.asarray(l, np.float32)).ravel()[:: self.subsample] for l in leaves])
+        tb.add_histogram("optim/model_params_log", np.clip(np.log10(vals + 1e-30), -15, None), step)
+
+
+# registry entries so configs instantiate these by target path
+registry.register("Callback", aliases=("pytorch_tools.fit_wrapper.callbacks.Callback",))(Callback)
+registry.register("CutmixMixup", aliases=("src.callbacks.CutmixMixup", "sota_imagenet.callbacks.CutmixMixup"))(
+    CutmixMixup
+)
+registry.register("SAM", aliases=("src.callbacks.SAM",))(SAM)
+registry.register("SAMOriginal", aliases=("src.callbacks.SAMOriginal",))(SAMOriginal)
+registry.register("OrthoLossClb", aliases=("src.callbacks.OrthoLossClb",))(OrthoLossClb)
+registry.register("NormLossClb", aliases=("src.callbacks.NormLossClb",))(NormLossClb)
+registry.register("OrthoInitClb", aliases=("src.callbacks.OrthoInitClb",))(OrthoInitClb)
+registry.register("WeightDistributionTB", aliases=("src.callbacks.WeightDistributionTB",))(WeightDistributionTB)
+registry.register("SpectralDistributionTB", aliases=("src.callbacks.SpectralDistributionTB",))(SpectralDistributionTB)
+registry.register("GradDistributionTB", aliases=("src.callbacks.GradDistributionTB",))(GradDistributionTB)

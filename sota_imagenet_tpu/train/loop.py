@@ -1,0 +1,195 @@
+"""Runner: the epoch/step loop (pt.fit_wrapper.Runner equivalent,
+reference train.py:145-173; SURVEY.md §2.2).
+
+Differences from the reference runner, by TPU design:
+  * the per-batch work is ONE jitted function (forward+loss+grad+update+EMA);
+  * metrics stay on device during the epoch (no per-step host sync) and are
+    reduced once at epoch end — device_get of a step's metrics only blocks on
+    work that is already ~prefetch steps behind;
+  * callbacks contribute step options (mixup/SAM/aux-loss) at fit() time
+    instead of mutating state inside the loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sota_imagenet_tpu.config import ConfigNode
+from sota_imagenet_tpu.train import steps as steps_lib
+from sota_imagenet_tpu.train.callbacks import Callback
+from sota_imagenet_tpu.train.metrics import MeterDict
+from sota_imagenet_tpu.train.schedule import make_lr_schedule
+from sota_imagenet_tpu.train.state import TrainState
+from sota_imagenet_tpu.utils.logging import get_logger
+
+
+class Runner:
+    def __init__(
+        self,
+        model,
+        criterion,
+        tx,
+        *,
+        lr_phases: List[dict],
+        callbacks: Optional[List[Callback]] = None,
+        accumulate_steps: int = 1,
+        ema_decay: float = 0.0,
+        input_dtype=jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.model = model
+        self.criterion = criterion
+        self.tx = tx
+        self.lr_phases = lr_phases
+        self.callbacks = callbacks or []
+        self.accumulate_steps = accumulate_steps
+        self.ema_decay = ema_decay
+        self.input_dtype = input_dtype
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.state: Optional[TrainState] = None
+        self.epoch = 0
+        self.batch_size = 0
+        self.tb_writer = None
+        self.val_metrics: Dict[str, float] = {}
+        self.train_metrics: Dict[str, float] = {}
+        self._began = False
+        for c in self.callbacks:
+            c.set_runner(self)
+        # find a TensorBoard callback's writer if present
+        self._eval_step = None
+
+    # ---------------- step assembly ----------------
+
+    def _collect_step_options(self) -> Dict[str, Any]:
+        opts: Dict[str, Any] = {}
+        aux_losses = []
+        for c in self.callbacks:
+            o = c.step_options()
+            if "aux_loss" in o:
+                aux_losses.append(o.pop("aux_loss"))
+            opts.update(o)
+        if aux_losses:
+            opts["aux_loss"] = lambda params: sum(f(params) for f in aux_losses)
+        return opts
+
+    def init_state(self, input_shape, rng=None):
+        self.state = steps_lib.init_state(
+            self.model,
+            self.tx,
+            input_shape,
+            rng if rng is not None else self.rng,
+            ema_decay=self.ema_decay,
+            input_dtype=self.input_dtype,
+            criterion=self.criterion,
+        )
+        return self.state
+
+    def _build_steps(self, steps_per_epoch: int, base_epoch: int):
+        lr_schedule = make_lr_schedule(
+            self.lr_phases, steps_per_epoch, base_epoch=base_epoch, base_step=int(self.state.step)
+        )
+        opts = self._collect_step_options()
+        train_step = steps_lib.build_train_step(
+            self.model,
+            self.criterion,
+            self.tx,
+            lr_schedule,
+            accumulate_steps=self.accumulate_steps,
+            ema_decay=self.ema_decay,
+            input_dtype=self.input_dtype,
+            **opts,
+        )
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        if self._eval_step is None:
+            self._eval_step = jax.jit(
+                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype)
+            )
+            self._eval_step_ema = jax.jit(
+                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype, use_ema=True)
+            )
+
+    # ---------------- epoch loops ----------------
+
+    def _ensure_began(self):
+        if not self._began:
+            self._began = True
+            for c in self.callbacks:
+                c.on_begin()
+                self.tb_writer = getattr(c, "writer", None) or self.tb_writer
+
+    def fit(
+        self,
+        loader,
+        val_loader=None,
+        *,
+        epochs: int,
+        start_epoch: int = 0,
+        steps_per_epoch: Optional[int] = None,
+        val_steps: Optional[int] = None,
+    ):
+        assert self.state is not None, "call init_state() first"
+        self._ensure_began()
+        spe = steps_per_epoch or len(loader)
+        self.batch_size = loader.batch_size
+        self._build_steps(spe, base_epoch=start_epoch)
+
+        for epoch in range(start_epoch, epochs):
+            self.epoch = epoch
+            if hasattr(loader, "host") and hasattr(loader.host, "set_epoch"):
+                loader.host.set_epoch(epoch)
+            for c in self.callbacks:
+                c.on_epoch_begin(epoch)
+            dev_metrics: List[Dict[str, jnp.ndarray]] = []
+            t0 = time.time()
+            for i, batch in enumerate(loader):
+                if i >= spe:
+                    break
+                self.state, m = self._train_step(self.state, batch, self.rng)
+                dev_metrics.append(m)
+                step = int(i + epoch * spe)
+                for c in self.callbacks:
+                    c.on_batch_end(step, m)
+            # epoch reduce (single host sync)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dev_metrics) if dev_metrics else {}
+            host = jax.device_get(jax.tree_util.tree_map(jnp.mean, stacked)) if dev_metrics else {}
+            self.train_metrics = {k: float(v) for k, v in host.items()}
+            self.train_metrics["epoch_time_s"] = time.time() - t0
+            self.val_metrics = (
+                self.evaluate(val_loader, steps=val_steps, _internal=True) if val_loader is not None else {}
+            )
+            for c in self.callbacks:
+                c.on_epoch_end(epoch, self.train_metrics, self.val_metrics)
+        return self.train_metrics, self.val_metrics
+
+    def evaluate(self, loader, steps: Optional[int] = None, use_ema: bool = False, _internal: bool = False):
+        self._ensure_began()
+        if self._eval_step is None:
+            self._eval_step = jax.jit(
+                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype)
+            )
+            self._eval_step_ema = jax.jit(
+                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype, use_ema=True)
+            )
+        fn = self._eval_step_ema if use_ema else self._eval_step
+        dev_metrics = []
+        for i, batch in enumerate(loader):
+            if steps is not None and i >= steps:
+                break
+            dev_metrics.append(fn(self.state, batch))
+        if not dev_metrics:
+            return {}
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dev_metrics)
+        host = jax.device_get(jax.tree_util.tree_map(jnp.mean, stacked))
+        metrics = {k: float(v) for k, v in host.items()}
+        if not _internal:
+            self.val_metrics = metrics
+        return metrics
+
+    def close(self):
+        for c in self.callbacks:
+            c.on_end()

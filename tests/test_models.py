@@ -1,0 +1,135 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sota_imagenet_tpu.models import resnet18, resnet50, bresnet50
+from sota_imagenet_tpu.models.layers import BlurPool, ChannelShuffle, ScaledStdConv, SpaceToDepth
+from sota_imagenet_tpu.models.norms import FRNv1, FRNv2, VarEMA, ScaleNorm
+from sota_imagenet_tpu.models.attention import ECA, SEVar3, UFO, XCA
+from sota_imagenet_tpu.utils.misc import count_parameters
+
+
+def _init_apply(model, x, train=False, rngs=None):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=train, mutable=["batch_stats"] if train else False,
+                      rngs=rngs or {"dropout": jax.random.PRNGKey(1)})
+    return (out if not train else out[0]), variables
+
+
+def test_resnet50_shapes_and_params():
+    m = resnet50()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    logits, variables = _init_apply(m, x)
+    assert logits.shape == (2, 1000)
+    # torchvision ResNet-50 = 25.56M params (reference log: "Model params: 25.56M")
+    n = count_parameters(variables["params"])
+    assert abs(n / 1e6 - 25.56) < 0.02, n / 1e6
+
+
+def test_resnet18_params():
+    m = resnet18()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    _, variables = _init_apply(m, x)
+    n = count_parameters(variables["params"])
+    assert abs(n / 1e6 - 11.69) < 0.02, n / 1e6  # torchvision resnet18 11.69M
+
+
+def test_resnet_spatial_reduction():
+    """stem+4 stages: 224 -> 7 final feature map (matches torchvision)."""
+    m = resnet18()
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    logits, _ = _init_apply(m, x)
+    assert logits.shape == (1, 1000)
+
+
+def test_bresnet50_builds_and_runs():
+    m = bresnet50()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    out, _ = m.apply(variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out.shape == (2, 1000)
+
+
+def test_scaled_std_conv_standardization():
+    """After WS the effective weight has ~0 mean and gain*gamma/sqrt(fan_in) scale."""
+    conv = ScaledStdConv(out_chs=8, kernel_size=3, gamma=2.0, gain_init=1.0)
+    x = jnp.ones((1, 8, 8, 4), jnp.float32)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    # reconstruct the standardized weight the same way the layer does
+    k = variables["params"]["kernel"]
+    mean = jnp.mean(k, axis=(0, 1, 2))
+    assert k.shape == (3, 3, 4, 8)
+    out = conv.apply(variables, x)
+    assert out.shape == (1, 8, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_blurpool_downsamples_and_preserves_dc():
+    bp = BlurPool()
+    x = jnp.ones((1, 8, 8, 4), jnp.float32) * 3.0
+    y = bp.apply(bp.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 4, 4, 4)
+    # interior values preserve constant signal exactly (kernel sums to 1)
+    assert np.allclose(np.asarray(y)[0, 1:-1, 1:-1], 3.0, atol=1e-5)
+
+
+def test_space_to_depth():
+    s2d = SpaceToDepth(block_size=2)
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    y = s2d.apply(s2d.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 2, 2, 4)
+    # first output pixel collects the 2x2 top-left block
+    assert set(np.asarray(y)[0, 0, 0].tolist()) == {0.0, 1.0, 4.0, 5.0}
+
+
+def test_channel_shuffle_permutes():
+    cs = ChannelShuffle(groups=2)
+    x = jnp.arange(4, dtype=jnp.float32).reshape(1, 1, 1, 4)
+    y = cs.apply(cs.init(jax.random.PRNGKey(0), x), x)
+    assert np.allclose(np.asarray(y).ravel(), [0, 2, 1, 3])
+
+
+@pytest.mark.parametrize("norm_cls", [FRNv1, FRNv2])
+def test_frn_train_eval_consistency(norm_cls):
+    norm = norm_cls()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 16)) * 2.0
+    variables = norm.init(jax.random.PRNGKey(1), x, train=False)
+    # run train steps; running stats should move toward batch RMS
+    state = variables
+    for _ in range(60):
+        y, upd = norm.apply(state, x, train=True, mutable=["batch_stats"])
+        state = {"params": state["params"], "batch_stats": upd["batch_stats"]}
+    y_train, _ = norm.apply(state, x, train=True, mutable=["batch_stats"])
+    y_eval = norm.apply(state, x, train=False)
+    # after convergence train/val outputs agree (the whole point of re-norm)
+    assert np.allclose(np.asarray(y_train), np.asarray(y_eval), atol=0.1)
+
+
+def test_varema_monitor_mode_is_identity():
+    v = VarEMA(use=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 8))
+    variables = v.init(jax.random.PRNGKey(1), x, train=False)
+    y, _ = v.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_scalenorm_unit_norm():
+    sn = ScaleNorm()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 1, 64))
+    y = sn.apply(sn.init(jax.random.PRNGKey(1), x), x)
+    norms = np.linalg.norm(np.asarray(y), axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("attn_cls,kw", [(XCA, {}), (UFO, {}), (ECA, {"kernel_size": 9}), (SEVar3, {})])
+def test_attention_shapes(attn_cls, kw):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    if attn_cls in (XCA, UFO):
+        mod = attn_cls(dim=32, num_heads=8, **kw)
+    else:
+        mod = attn_cls(channels=32, **kw)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(variables, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

@@ -1,0 +1,140 @@
+"""End-to-end training-loop tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sota_imagenet_tpu.config import parse_stages
+from sota_imagenet_tpu.data.pipeline import DeviceFeed, SyntheticLoader
+from sota_imagenet_tpu.losses import CrossEntropyLoss
+from sota_imagenet_tpu.models.cmodel import CModel
+from sota_imagenet_tpu.ops.augment import build_train_augment, build_val_augment
+from sota_imagenet_tpu.optim import build_optimizer
+from sota_imagenet_tpu.train.callbacks import CutmixMixup
+from sota_imagenet_tpu.train.loop import Runner
+from sota_imagenet_tpu.train.schedule import make_lr_schedule, phases_from_stages
+from sota_imagenet_tpu.train import steps as steps_lib
+
+
+def tiny_model():
+    cfg = [
+        {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+        {"module": "BatchNorm2d", "args": [8]},
+        {"module": "ReLU"},
+        {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+        {"module": "Linear", "args": [8, 10]},
+    ]
+    return CModel(layer_config=cfg)
+
+
+def make_runner(mesh, ema_decay=0.0, accumulate_steps=1, callbacks=None):
+    stages = parse_stages([dict(start=0, end=2, lr=[0.1, 0.1])])
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9})
+    return Runner(
+        tiny_model(),
+        CrossEntropyLoss(smoothing=0.1),
+        tx,
+        lr_phases=phases_from_stages(stages),
+        accumulate_steps=accumulate_steps,
+        ema_decay=ema_decay,
+        input_dtype=jnp.float32,
+        callbacks=callbacks or [],
+    )
+
+
+def make_feed(mesh, bs=16, size=16, n=4, train=True):
+    host = SyntheticLoader(batch_size=bs, image_size=size, num_classes=10, length=n)
+    aug = (
+        build_train_augment(num_classes=10, out_dtype=jnp.float32)
+        if train
+        else build_val_augment(num_classes=10, out_dtype=jnp.float32)
+    )
+    return DeviceFeed(host, mesh, aug, prefetch=1)
+
+
+def test_fit_reduces_loss(mesh8):
+    runner = make_runner(mesh8)
+    runner.init_state((2, 16, 16, 3))
+    feed = make_feed(mesh8, n=8)
+    val = make_feed(mesh8, n=2, train=False)
+    train_m, val_m = runner.fit(feed, val, epochs=2, start_epoch=0)
+    assert "loss" in train_m and np.isfinite(train_m["loss"])
+    assert "Acc@1" in val_m
+    assert int(runner.state.step) == 16
+
+
+def test_state_sharded_over_mesh(mesh8):
+    runner = make_runner(mesh8)
+    runner.init_state((2, 16, 16, 3))
+    feed = make_feed(mesh8, n=2)
+    runner.fit(feed, None, epochs=1, start_epoch=0)
+    batch = next(iter(make_feed(mesh8, n=1)))
+    # batch sharded over 8 devices on the 'data' axis
+    assert len(batch["image"].sharding.device_set) == 8
+
+
+def test_accumulation_matches_large_batch(mesh8):
+    """grad accumulation == big batch for a linear model w/o BN."""
+    tx = build_optimizer({"_target_": "sgd"})
+    model = CModel(
+        layer_config=[
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [3, 10]},
+        ]
+    )
+    crit = CrossEntropyLoss()
+    sched = lambda s: jnp.asarray(0.5, jnp.float32)
+    step1 = steps_lib.build_train_step(model, crit, tx, sched, accumulate_steps=1, input_dtype=jnp.float32)
+    step2 = steps_lib.build_train_step(model, crit, tx, sched, accumulate_steps=4, input_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (16, 8, 8, 3))
+    labels = jax.nn.one_hot(jax.random.randint(rng, (16,), 0, 10), 10)
+    batch = {"image": images, "label": labels}
+    s0 = steps_lib.init_state(model, tx, (2, 8, 8, 3), rng)
+    s1, _ = step1(s0, batch, rng)
+    s0b = steps_lib.init_state(model, tx, (2, 8, 8, 3), rng)
+    s2, _ = step2(s0b, batch, rng)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_ema_moves_toward_params(mesh8):
+    runner = make_runner(mesh8, ema_decay=0.5)
+    runner.init_state((2, 16, 16, 3))
+    feed = make_feed(mesh8, n=4)
+    runner.fit(feed, None, epochs=1, start_epoch=0)
+    # EMA exists and differs from params but not wildly
+    p = jax.tree_util.tree_leaves(runner.state.params)[0]
+    e = jax.tree_util.tree_leaves(runner.state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+
+
+def test_cutmix_mixup_step_option(mesh8):
+    runner = make_runner(mesh8, callbacks=[CutmixMixup(1.0, 0.2, prob=1.0)])
+    runner.init_state((2, 16, 16, 3))
+    feed = make_feed(mesh8, n=2)
+    train_m, _ = runner.fit(feed, None, epochs=1, start_epoch=0)
+    assert np.isfinite(train_m["loss"])
+
+
+def test_sam_step_runs(mesh8):
+    from sota_imagenet_tpu.train.callbacks import SAM
+
+    runner = make_runner(mesh8, callbacks=[SAM(unitwise=True, rho=0.01)])
+    runner.init_state((2, 16, 16, 3))
+    feed = make_feed(mesh8, n=2)
+    train_m, _ = runner.fit(feed, None, epochs=1, start_epoch=0)
+    assert np.isfinite(train_m["loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path, mesh8):
+    from sota_imagenet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    runner = make_runner(mesh8)
+    state = runner.init_state((2, 16, 16, 3))
+    path = save_checkpoint(str(tmp_path), state, epoch=3)
+    restored, epoch = load_checkpoint(path, state)
+    assert epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

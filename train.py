@@ -1,0 +1,188 @@
+"""CLI entry point (reference train.py equivalent).
+
+Usage:
+    python train.py --config configs/r50_baseline.yaml [key=value ...]
+    python train.py --config configs/eval_config.yaml run.resume=logs/.../model.ckpt
+
+Mirrors the reference main() flow (reference train.py:22-185): config →
+run-dir + git snapshot → model/criterion/optimizer build → resume → callbacks
+→ stage loop over the DataManager → final eval + save. Distributed setup is
+JAX-native: one process per host, mesh over all chips (no torch.distributed
+launcher; SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="sota_imagenet_tpu trainer")
+    parser.add_argument("--config", "-c", default=None, help="experiment YAML")
+    parser.add_argument("overrides", nargs="*", help="dotted overrides key=value")
+    args = parser.parse_args(argv)
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+    # CPU smoke runs (JAX_PLATFORMS=cpu) work as documented
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    # multi-host init (no-op single-host); reference used NCCL env:// (train.py:61)
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+    from sota_imagenet_tpu import config as C
+    from sota_imagenet_tpu.config import instantiate, parse_stages
+    from sota_imagenet_tpu.data.pipeline import DataManager
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+    from sota_imagenet_tpu.train.callbacks import (
+        Callback,
+        CheckpointSaver,
+        ConsoleLogger,
+        TensorBoard,
+        Timer,
+        WeightDistributionTB,
+    )
+    from sota_imagenet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from sota_imagenet_tpu.train.loop import Runner
+    from sota_imagenet_tpu.train.schedule import phases_from_stages
+    from sota_imagenet_tpu.utils.logging import setup_logger
+    from sota_imagenet_tpu.utils.misc import count_parameters, filter_from_weight_decay, set_random_seed
+
+    start_time = time.time()
+    cfg = C.load(args.config, overrides=args.overrides, strict_env=False)
+    is_master = jax.process_index() == 0
+
+    # run dir: logs/<date>_<exp>/<time> (reference configs/base.yaml:13-15)
+    run_dir = os.path.join(
+        cfg.log.dir, time.strftime("%Y-%m-%d") + "_" + cfg.log.exp_name, time.strftime("%H-%M-%S")
+    )
+    if is_master:
+        os.makedirs(run_dir, exist_ok=True)
+        # reproducibility artifacts (reference train.py:32-36)
+        for fname, cmd in (("commit_hash.txt", ["git", "rev-parse", "--short", "HEAD"]), ("diff.txt", ["git", "diff"])):
+            try:
+                out = subprocess.run(cmd, capture_output=True, text=True).stdout
+                with open(os.path.join(run_dir, fname), "w") as f:
+                    f.write(out)
+            except Exception:
+                pass
+        with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+            f.write(C.to_yaml(cfg))
+    log = setup_logger(os.path.join(run_dir, "logs.txt") if is_master else None, is_master)
+    log.info(C.to_yaml(cfg))
+    log.info(f"JAX {jax.__version__} | devices: {jax.device_count()} ({jax.devices()[0].platform})")
+
+    if cfg.random_seed is not None:
+        set_random_seed(cfg.random_seed)
+    rng = jax.random.PRNGKey(cfg.random_seed or 0)
+
+    mesh = create_mesh(data=cfg.mesh.data, model=cfg.mesh.model)
+    input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
+
+    log.info("Loading model")
+    model = instantiate(cfg.model)
+    criterion = instantiate(cfg.criterion)
+
+    stages = parse_stages(cfg.run.stages)
+    lr_phases = phases_from_stages(stages)
+    log.info(f"Learning rate stages: {lr_phases}")
+
+    # weight-decay filtering needs params; build state first with a dummy mask,
+    # then rebuild the optimizer with the real mask (cheap, transform only)
+    wd_mask_holder = {}
+
+    def wd_mask_fn(params):
+        if cfg.filter_from_wd is not None:
+            return filter_from_weight_decay(params, cfg.filter_from_wd)
+        return None
+
+    callbacks = [
+        Timer(),
+        ConsoleLogger(),
+        CheckpointSaver(run_dir, save_name="model.ckpt", include_optimizer=cfg.log.save_optim),
+    ]
+    if cfg.log.tensorboard and is_master:
+        callbacks.append(TensorBoard(run_dir, log_every=50))
+    if cfg.log.histogram:
+        callbacks.append(WeightDistributionTB())
+    for clb_cfg in cfg.run.extra_callbacks or []:
+        callbacks.append(instantiate(clb_cfg))
+
+    # build a throwaway state to derive the wd mask (params structure)
+    tx_nowd = build_optimizer(dict(cfg.optim))
+    probe = Runner(model, criterion, tx_nowd, lr_phases=lr_phases, input_dtype=input_dtype, rng=rng)
+    init_shape = (2, cfg.loader.image_size, cfg.loader.image_size, 3)
+    probe_state = probe.init_state(init_shape, rng)
+    mask = wd_mask_fn(probe_state.params)
+    tx = build_optimizer(dict(cfg.optim), wd_mask=mask)
+
+    runner = Runner(
+        model,
+        criterion,
+        tx,
+        lr_phases=lr_phases,
+        callbacks=callbacks,
+        accumulate_steps=cfg.run.accumulate_steps,
+        ema_decay=cfg.run.ema_decay,
+        input_dtype=input_dtype,
+        rng=rng,
+    )
+    runner.state = probe_state.replace(opt_state=tx.init(probe_state.params))
+    log.info(f"Model params: {count_parameters(runner.state.params) / 1e6:.2f}M")
+
+    start_epoch = cfg.run.start_epoch
+    if cfg.run.resume:
+        runner.state, ckpt_epoch = load_checkpoint(cfg.run.resume, runner.state)
+        # restored arrays are committed to one device; re-replicate over the mesh
+        from sota_imagenet_tpu.parallel.mesh import replicate
+
+        runner.state = jax.device_put(runner.state, replicate(mesh))
+        log.info(f"Loaded checkpoint from {cfg.run.resume}")
+        if cfg.run.load_start_epoch:
+            start_epoch = ckpt_epoch
+
+    data_manager = DataManager(cfg, mesh, rng=jax.random.fold_in(rng, 777), out_dtype=input_dtype)
+
+    if cfg.run.evaluate:
+        data_manager.set_stage(0)
+        metrics = runner.evaluate(data_manager.val_loader)
+        log.info(f"Eval: {metrics}")
+        runner.close()
+        return metrics
+
+    for idx in range(len(data_manager)):
+        data_manager.set_stage(idx)
+        if data_manager.end_epoch <= start_epoch:
+            continue
+        runner.fit(
+            data_manager.loader,
+            data_manager.val_loader,
+            epochs=data_manager.end_epoch,
+            start_epoch=max(data_manager.start_epoch, start_epoch),
+            steps_per_epoch=10 if cfg.debug else None,
+            val_steps=20 if cfg.debug else None,
+        )
+
+    log.info(f"Model params: {count_parameters(runner.state.params) / 1e6:.2f}M")
+    vm = runner.val_metrics
+    if vm:
+        log.info(f"Acc@1 {vm.get('Acc@1', 0):.3f} Acc@5 {vm.get('Acc@5', 0):.3f}")
+    m = (time.time() - start_time) / 60
+    log.info(f"Total time: {int(m / 60)}h {m % 60:.1f}m")
+    if is_master:
+        save_checkpoint(run_dir, runner.state, data_manager.tot_epochs, name="model_last.ckpt")
+    runner.close()
+    return vm
+
+
+if __name__ == "__main__":
+    main()
