@@ -37,8 +37,8 @@ def main():
 
     model = resnet50(dtype=jnp.bfloat16)
     criterion = CrossEntropyLoss(smoothing=0.1)
-    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9, "weight_decay": 3e-5})
     sched = make_lr_schedule([dict(ep=(0, 90), lr=(1.0, 0.0), mode="cos")], steps_per_epoch=100)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9, "weight_decay": 3e-5}, sched)
     train_step = jax.jit(
         steps_lib.build_train_step(model, criterion, tx, sched, input_dtype=jnp.bfloat16),
         donate_argnums=(0,),
@@ -52,16 +52,17 @@ def main():
     labels = jax.device_put(jax.nn.one_hot(jnp.arange(bs) % 1000, 1000, dtype=jnp.float32), sh)
     batch = {"image": images, "label": labels}
 
-    # warmup/compile
+    # warmup/compile; device_get forces a real device->host sync (the axon
+    # tunnel's block_until_ready can return before execution finishes)
     for _ in range(3):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics["loss"])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_per_sec = bs * iters / dt

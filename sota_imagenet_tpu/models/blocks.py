@@ -390,6 +390,22 @@ class Yolo5_C3(nn.Module):
         return cv("cv3")(jnp.concatenate([block_inp, res], axis=-1))
 
 
+class ConvBnAct(nn.Module):
+    """conv3x3 + BN + activation — convenience for VGG-style CModel configs
+    (the reference writes the three layers out each time, 62.vgg-cmodel.yaml)."""
+
+    in_chs: int = 0
+    out_chs: int = 0
+    activation: str = "swish_hard"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        x = Conv(out_chs=self.out_chs, kernel_size=3, stride=self.stride, padding=1, use_bias=False)(x)
+        x = BatchNorm()(x, train=train)
+        return activation_from_name(self.activation)(x)
+
+
 class Residual(nn.Module):
     """fn(x) + x (reference model.py:1066-1072)."""
 

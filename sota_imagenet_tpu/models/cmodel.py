@@ -64,7 +64,7 @@ def _update_dict(to_dict: Dict, from_dict: Dict) -> Dict:
 
 
 def _act(name):
-    return lambda *a, **kw: L.Activation(name=name)
+    return lambda *a, **kw: L.Activation(act=name)
 
 
 def _dropout(p=0.5, **kw):
@@ -94,6 +94,7 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "PreInvertedResidual": lambda i, o, m=None, **kw: B.PreInvertedResidual(in_chs=i, out_chs=o, mid_chs=m, **kw),
     "Yolo5_C3": lambda i, **kw: B.Yolo5_C3(in_chs=i, **kw),
     "ConvMixerBlock": lambda dim, k=9, **kw: B.ConvMixerBlock(dim=dim, kernel_size=k, **kw),
+    "ConvBnAct": lambda i, o, **kw: B.ConvBnAct(in_chs=i, out_chs=o, **kw),
     # convs
     "scaled_conv3x3": L.scaled_conv3x3,
     "scaled_conv1x1": L.scaled_conv1x1,
@@ -121,7 +122,7 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "ChannelShuffle": lambda g=1, **kw: L.ChannelShuffle(groups=g),
     "FastGlobalAvgPool2d": lambda *a, **kw: L.FastGlobalAvgPool(**kw),
     "GEM_pool": lambda *a, **kw: L.GEMPool(**kw),
-    "MaxPool2d": lambda w=3, s=2, p=1, **kw: L.MaxPool(window=w, stride=s, padding=p),
+    "MaxPool2d": lambda w=3, s=None, p=0, **kw: L.MaxPool(window=w, stride=s if s is not None else w, padding=p),
     "Linear": L.linear,
     "Dropout": _dropout,
     "Identity": lambda *a, **kw: N.Identity(),
@@ -185,12 +186,22 @@ def _norm_value(v: Any) -> Any:
     return v
 
 
-def _parse_entry(entry: Union[Dict, List]) -> ModuleStructure:
-    import collections.abc
+import collections.abc
 
+
+def _thaw(obj):
+    """Recursively convert Mappings (incl. flax FrozenDict) to plain dicts."""
+    if isinstance(obj, collections.abc.Mapping):
+        return {k: _thaw(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_thaw(v) for v in obj]
+    return obj
+
+
+def _parse_entry(entry: Union[Dict, List]) -> ModuleStructure:
     # flax wraps dict attributes as FrozenDict — accept any Mapping
     if isinstance(entry, collections.abc.Mapping):
-        d = {k: (dict(v) if isinstance(v, collections.abc.Mapping) else v) for k, v in entry.items()}
+        d = _thaw(entry)
         d.setdefault("args", [])
         if not isinstance(d["args"], (list, tuple)):
             d["args"] = [d["args"]]
@@ -202,7 +213,7 @@ def _parse_entry(entry: Union[Dict, List]) -> ModuleStructure:
         args = list(entry[3]) if len(entry) > 3 and isinstance(entry[3], (list, tuple)) else (
             [entry[3]] if len(entry) > 3 else []
         )
-        kwargs = dict(entry[4]) if len(entry) > 4 else {}
+        kwargs = _thaw(entry[4]) if len(entry) > 4 else {}
         if not isinstance(inputs, list):
             inputs = [inputs]
         inputs = ["_prev_" if i == -1 else i for i in inputs]
@@ -220,13 +231,13 @@ class CModel(nn.Module):
     def _build_structures(self) -> List[ModuleStructure]:
         structures = [_parse_entry(e) for e in self.layer_config]
         if self.extra_kwargs:
-            for extra_name, extra_kw in self.extra_kwargs.items():
+            for extra_name, extra_kw in _thaw(self.extra_kwargs).items():
                 tail = extra_name.rsplit(".", 1)[-1]
                 for layer in structures:
                     lt = str(layer.module).rsplit(".", 1)[-1]
                     if str(layer.module) == extra_name or lt == tail:
                         # layer kwargs win over extra_kwargs (reference model.py:1178)
-                        layer.kwargs = _update_dict(copy.deepcopy(dict(extra_kw)), layer.kwargs)
+                        layer.kwargs = _update_dict(copy.deepcopy(extra_kw), layer.kwargs)
         return structures
 
     @nn.compact

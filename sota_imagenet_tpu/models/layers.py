@@ -64,13 +64,14 @@ def activation_from_name(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 class Activation(nn.Module):
-    """Activation as a module so it can appear in CModel layer configs."""
+    """Activation as a module so it can appear in CModel layer configs.
+    (field is ``act`` — ``name`` is reserved by flax Module)"""
 
-    name: str = "relu"
+    act: str = "relu"
 
     @nn.compact
     def __call__(self, x, **_):
-        return activation_from_name(self.name)(x)
+        return activation_from_name(self.act)(x)
 
 
 # --------------------------------------------------------------------------- #

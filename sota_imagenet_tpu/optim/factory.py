@@ -2,22 +2,21 @@
 
 Replaces the reference's optimizer instantiation (train.py:92) and its fused
 `torch._foreach_*` / apex paths — under jit, optax's tree-mapped updates fuse
-into a handful of XLA kernels, so "fused multi-tensor" comes for free
-(SURVEY.md §2.3).
+into a handful of XLA kernels (SURVEY.md §2.3).
 
-Weight-decay filtering: the reference builds two param groups via
-``filter_from_weight_decay`` (train.py:83-89) — params with ndim<=1 or names
-matching ``filter_from_wd`` substrings get wd=0. Here that is an optax mask
-produced by utils.misc.filter_from_weight_decay.
+Builders take ``learning_rate`` (float or schedule of the update count) and
+OWN the lr/wd coupling, matching torch semantics per optimizer:
+  * sgd — coupled L2 (grad += wd·param before momentum), lr scales the buffer;
+  * adamw/lamb — decoupled decay à la AdamW;
+  * novograd/adai/adais/madgrad/adam_layerwise/adamp — see optim/zoo.py.
 
-Semantics preserved per optimizer:
-  * sgd — torch-style *coupled* L2 (grad += wd·param before momentum);
-  * adamw — decoupled weight decay (pytorch_tools.optim.adamw.AdamW).
+Weight-decay filtering: the reference builds param groups via
+``filter_from_weight_decay`` (train.py:83-89); here it's a boolean mask pytree
+(utils.misc.filter_from_weight_decay) passed as ``wd_mask``.
 
-IMPORTANT: builders return the transform WITHOUT the final -lr scaling. The
-jitted train step multiplies updates by -lr(step) itself, so the phase
-scheduler (train/schedule.py) can be rebuilt across progressive-resize stages
-without re-initializing optimizer state.
+Progressive-resize note: rebuilding a transform with a new schedule keeps the
+optimizer *state* valid (same tree structure), so stage changes don't reset
+momenta.
 """
 
 from __future__ import annotations
@@ -28,24 +27,36 @@ import jax
 import jax.numpy as jnp
 import optax
 
-Schedule = Union[float, Callable[[jnp.ndarray], jnp.ndarray]]
+from sota_imagenet_tpu.optim import zoo
+
+Schedule = Union[float, Callable]
 
 _BUILDERS: Dict[str, Callable[..., optax.GradientTransformation]] = {}
 
 _OPTIM_ALIASES = {
     "torch.optim._multi_tensor.SGD": "sgd",
     "torch.optim.SGD": "sgd",
+    "SGD": "sgd",
     "pytorch_tools.optim.adamw.AdamW": "adamw",
     "torch.optim.AdamW": "adamw",
+    "AdamW": "adamw",
     "badam.BAdam": "badam",
+    "BAdam": "badam",
     "adamp.AdamP": "adamp",
+    "AdamP": "adamp",
     "apex.optimizers.FusedNovoGrad": "novograd",
     "src.optimizers.MyNovograd": "novograd",
-    "src.optimizers.NovogradApex": "novograd_apex",
+    "MyNovograd": "novograd",
+    "src.optimizers.NovogradApex": "novograd",
+    "NovogradApex": "novograd",
     "src.optimizers.AdamLayerwise": "adam_layerwise",
+    "AdamLayerwise": "adam_layerwise",
     "src.optimizers.MyAdai": "adai",
+    "MyAdai": "adai",
     "src.optimizers.AdaiS": "adais",
+    "AdaiS": "adais",
     "src.optimizers.MADGRAD": "madgrad",
+    "MADGRAD": "madgrad",
 }
 
 
@@ -65,10 +76,10 @@ def _mask_wd(wd_tx: optax.GradientTransformation, mask) -> optax.GradientTransfo
 
 @register_optimizer("sgd")
 def sgd(
+    learning_rate: Schedule,
     momentum: float = 0.0,
     weight_decay: float = 0.0,
     nesterov: bool = False,
-    dampening: float = 0.0,
     wd_mask=None,
     **_: Any,
 ) -> optax.GradientTransformation:
@@ -76,15 +87,15 @@ def sgd(
     if weight_decay:
         parts.append(_mask_wd(optax.add_decayed_weights(weight_decay), wd_mask))
     if momentum:
-        # torch momentum buffer: b = m·b + g ; update uses b (or g + m·b nesterov)
+        # torch buffer: b = m·b + g ; update uses b (or g + m·b for nesterov)
         parts.append(optax.trace(decay=momentum, nesterov=nesterov))
-    if not parts:
-        parts.append(optax.identity())
+    parts.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*parts)
 
 
 @register_optimizer("adamw")
 def adamw(
+    learning_rate: Schedule,
     betas=(0.9, 0.999),
     eps: float = 1e-8,
     weight_decay: float = 0.0,
@@ -94,11 +105,13 @@ def adamw(
     return optax.chain(
         optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
         _mask_wd(optax.add_decayed_weights(weight_decay), wd_mask) if weight_decay else optax.identity(),
+        optax.scale_by_learning_rate(learning_rate),
     )
 
 
 @register_optimizer("lamb")
 def lamb(
+    learning_rate: Schedule,
     betas=(0.9, 0.999),
     eps: float = 1e-6,
     weight_decay: float = 0.0,
@@ -111,17 +124,53 @@ def lamb(
         optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
         _mask_wd(optax.add_decayed_weights(weight_decay), wd_mask) if weight_decay else optax.identity(),
         optax.scale_by_trust_ratio(),
+        optax.scale_by_learning_rate(learning_rate),
     )
+
+
+@register_optimizer("badam")
+def badam(learning_rate: Schedule, lamb_mode: bool = False, lamb: bool = False, **kw) -> optax.GradientTransformation:
+    """bonlime's BAdam (external package in the reference): AdamW-family with a
+    LAMB trust-ratio switch. We map lamb=True -> LAMB, else AdamW."""
+    if lamb or lamb_mode:
+        return _BUILDERS["lamb"](learning_rate, **kw)
+    return _BUILDERS["adamw"](learning_rate, **kw)
+
+
+# zoo
+register_optimizer("novograd")(zoo.novograd)
+register_optimizer("adam_layerwise")(zoo.adam_layerwise)
+register_optimizer("adai")(zoo.adai)
+register_optimizer("adais")(zoo.adais)
+register_optimizer("madgrad")(zoo.madgrad)
+register_optimizer("adamp")(zoo.adamp)
+
+
+def agc(clipping: float = 0.01, eps: float = 1e-3) -> Callable:
+    """Adaptive Gradient Clipping (NFNet arXiv:2102.06171; reference uses the
+    pytorch_tools AdaptiveGradientClipping callback). Returns a
+    grads-transform fn(grads, params) -> grads for use as a step option."""
+
+    def clip(grads, params):
+        def one(g, p):
+            pn = jnp.maximum(zoo._unitwise_norm(p), eps)
+            gn = jnp.maximum(zoo._unitwise_norm(g), 1e-6)
+            clipped = g * (clipping * pn / gn)
+            return jnp.where(gn > clipping * pn, clipped, g)
+
+        return jax.tree_util.tree_map(one, grads, params)
+
+    return clip
 
 
 def build_optimizer(
     optim_cfg: Dict[str, Any],
+    learning_rate: Schedule = 0.0,
     wd_mask=None,
 ) -> optax.GradientTransformation:
     """Build from a config node like {_target_: sgd, momentum: 0.9, ...}.
-    ``lr`` in the config is ignored (the reference also always starts at 0 and
-    lets PhasesScheduler drive it, train.py:91-92); the train step applies
-    -lr(step)."""
+    ``lr`` in the config is ignored (the reference always starts at 0 and lets
+    PhasesScheduler drive it, train.py:91-92); pass the schedule here."""
     cfg = dict(optim_cfg)
     target = str(cfg.pop("_target_", "sgd"))
     name = _OPTIM_ALIASES.get(target, target if target in _BUILDERS else target.rsplit(".", 1)[-1].lower())
@@ -130,4 +179,4 @@ def build_optimizer(
     cfg.pop("lr", None)
     if "betas" in cfg:
         cfg["betas"] = tuple(cfg["betas"])
-    return _BUILDERS[name](wd_mask=wd_mask, **cfg)
+    return _BUILDERS[name](learning_rate, wd_mask=wd_mask, **cfg)

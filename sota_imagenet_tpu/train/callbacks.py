@@ -104,6 +104,59 @@ class SAM(Callback):
         return {"sam": {"kind": "asam_unitwise" if self.unitwise else "asam", "rho": self.rho}}
 
 
+class ForwardWeightNorm(Callback):
+    """Turn convs into WS convs via a forward parametrization (reference
+    callbacks.py:62-84). use_std=True requires gamma (scaled WS); False does
+    zero-mean only. Applies to all conv kernels (the reference also skips
+    depthwise convs — acceptable difference, grouped convs are rare here)."""
+
+    def __init__(self, gamma: Optional[float] = None, use_std: bool = False):
+        if use_std and gamma is None:
+            raise ValueError("use_std=True requires gamma")
+        self.gamma = gamma if use_std else None
+
+    def step_options(self):
+        from sota_imagenet_tpu.models.parametrize import weight_standardization_fn
+
+        return {"parametrization": weight_standardization_fn(self.gamma)}
+
+
+class ForwardSpectralNorm(Callback):
+    """Spectral-norm parametrization for all convs (reference callbacks.py:87-101)."""
+
+    def __init__(self, n_iters: int = 5):
+        self.n_iters = n_iters
+
+    def step_options(self):
+        from sota_imagenet_tpu.models.parametrize import spectral_norm_fn
+
+        return {"parametrization": spectral_norm_fn(self.n_iters)}
+
+
+class WeightNorm(Callback):
+    """Backward centered weight normalization: project weights to the unit
+    sphere after every optimizer step (reference callbacks.py:104-123)."""
+
+    def step_options(self):
+        from sota_imagenet_tpu.models.parametrize import backward_weight_norm
+
+        return {"post_step_transform": backward_weight_norm}
+
+
+class AdaptiveGradientClipping(Callback):
+    """AGC (pytorch_tools callback used by 2 reference configs; NFNet
+    arXiv:2102.06171): clip grads by unit-wise grad/param norm ratio."""
+
+    def __init__(self, clipping: float = 0.01, eps: float = 1e-3):
+        self.clipping = clipping
+        self.eps = eps
+
+    def step_options(self):
+        from sota_imagenet_tpu.optim.factory import agc
+
+        return {"grad_transform": agc(self.clipping, self.eps)}
+
+
 # --------------------------------------------------------------------------- #
 # Auxiliary losses (reference callbacks.py:126-229) — pure functions of params
 # --------------------------------------------------------------------------- #
@@ -366,6 +419,12 @@ registry.register("CutmixMixup", aliases=("src.callbacks.CutmixMixup", "sota_ima
     CutmixMixup
 )
 registry.register("SAM", aliases=("src.callbacks.SAM",))(SAM)
+registry.register("ForwardWeightNorm", aliases=("src.callbacks.ForwardWeightNorm",))(ForwardWeightNorm)
+registry.register("ForwardSpectralNorm", aliases=("src.callbacks.ForwardSpectralNorm",))(ForwardSpectralNorm)
+registry.register("WeightNorm", aliases=("src.callbacks.WeightNorm",))(WeightNorm)
+registry.register(
+    "AdaptiveGradientClipping", aliases=("pytorch_tools.fit_wrapper.callbacks.AdaptiveGradientClipping",)
+)(AdaptiveGradientClipping)
 registry.register("SAMOriginal", aliases=("src.callbacks.SAMOriginal",))(SAMOriginal)
 registry.register("OrthoLossClb", aliases=("src.callbacks.OrthoLossClb",))(OrthoLossClb)
 registry.register("NormLossClb", aliases=("src.callbacks.NormLossClb",))(NormLossClb)

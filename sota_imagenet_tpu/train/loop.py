@@ -33,7 +33,7 @@ class Runner:
         self,
         model,
         criterion,
-        tx,
+        tx_factory,  # Callable[[lr_schedule], optax.GradientTransformation]
         *,
         lr_phases: List[dict],
         callbacks: Optional[List[Callback]] = None,
@@ -44,7 +44,12 @@ class Runner:
     ):
         self.model = model
         self.criterion = criterion
-        self.tx = tx
+        if not callable(tx_factory) or isinstance(tx_factory, tuple):
+            raise TypeError("Runner takes tx_factory: lr_schedule -> GradientTransformation")
+        self.tx_factory = tx_factory
+        # state-structure twin; rebuilt per stage with the real schedule. MUST
+        # be a callable schedule — optax float-lr vs schedule states differ
+        self.tx = tx_factory(lambda count: jnp.asarray(0.0, jnp.float32))
         self.lr_phases = lr_phases
         self.callbacks = callbacks or []
         self.accumulate_steps = accumulate_steps
@@ -93,9 +98,13 @@ class Runner:
         lr_schedule = make_lr_schedule(
             self.lr_phases, steps_per_epoch, base_epoch=base_epoch, base_step=int(self.state.step)
         )
+        # rebuild the transform with the stage's schedule; optimizer STATE is
+        # preserved (same tree structure), so momenta survive stage changes
+        self.tx = self.tx_factory(lr_schedule)
         opts = self._collect_step_options()
+        model = self._effective_model(opts)
         train_step = steps_lib.build_train_step(
-            self.model,
+            model,
             self.criterion,
             self.tx,
             lr_schedule,
@@ -105,13 +114,25 @@ class Runner:
             **opts,
         )
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        if self._eval_step is None:
-            self._eval_step = jax.jit(
-                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype)
-            )
-            self._eval_step_ema = jax.jit(
-                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype, use_ema=True)
-            )
+        self._build_eval_steps(model)
+
+    def _effective_model(self, opts):
+        """Apply forward parametrizations (WS / spectral norm) — active in
+        train AND eval, like torch parametrize (reference callbacks.py:62-101)."""
+        fn = opts.pop("parametrization", None)
+        if fn is None:
+            return self.model
+        from sota_imagenet_tpu.models.parametrize import ParametrizedModel
+
+        return ParametrizedModel(self.model, fn)
+
+    def _build_eval_steps(self, model=None):
+        if model is None:
+            model = self._effective_model(self._collect_step_options())
+        self._eval_step = jax.jit(steps_lib.build_eval_step(model, self.criterion, input_dtype=self.input_dtype))
+        self._eval_step_ema = jax.jit(
+            steps_lib.build_eval_step(model, self.criterion, input_dtype=self.input_dtype, use_ema=True)
+        )
 
     # ---------------- epoch loops ----------------
 
@@ -169,12 +190,7 @@ class Runner:
     def evaluate(self, loader, steps: Optional[int] = None, use_ema: bool = False, _internal: bool = False):
         self._ensure_began()
         if self._eval_step is None:
-            self._eval_step = jax.jit(
-                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype)
-            )
-            self._eval_step_ema = jax.jit(
-                steps_lib.build_eval_step(self.model, self.criterion, input_dtype=self.input_dtype, use_ema=True)
-            )
+            self._build_eval_steps()
         fn = self._eval_step_ema if use_ema else self._eval_step
         dev_metrics = []
         for i, batch in enumerate(loader):

@@ -143,6 +143,8 @@ def build_train_step(
     mixup_fn: Optional[Callable] = None,
     aux_loss: Optional[Callable] = None,  # aux_loss(params) scalar, e.g. ortho loss
     sam: Optional[Dict[str, Any]] = None,  # {kind: 'sam'|'asam'|'asam_unitwise', rho, eta}
+    grad_transform: Optional[Callable] = None,  # fn(grads, params) -> grads, e.g. AGC
+    post_step_transform: Optional[Callable] = None,  # fn(params) -> params after the update (WeightNorm)
     input_dtype=jnp.bfloat16,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     def loss_fn(params, batch_stats, loss_state, images, labels, rng):
@@ -237,10 +239,13 @@ def build_train_step(
             p_pert = jax.tree_util.tree_map(jnp.add, state.params, eps)
             (_, _), grads = grad_fn(p_pert, state.batch_stats, state.loss_state, images, labels, k_drop2)
 
-        lr = lr_schedule(state.step)
+        if grad_transform is not None:  # e.g. AGC (reference AdaptiveGradientClipping)
+            grads = grad_transform(grads, state.params)
+        lr = lr_schedule(state.step)  # for metrics; tx owns the actual scaling
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: (-lr * u).astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
+        if post_step_transform is not None:  # backward WeightNorm (reference callbacks.py:114-123)
+            new_params = post_step_transform(new_params)
 
         new_ema = state.ema_params
         new_ema_bs = state.ema_batch_stats

@@ -133,3 +133,32 @@ def test_attention_shapes(attn_cls, kw):
     y = mod.apply(variables, x)
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_eca_nfnet_l0_builds():
+    from sota_imagenet_tpu.models import eca_nfnet_l0
+    from sota_imagenet_tpu.utils.misc import count_parameters
+
+    m = eca_nfnet_l0(drop_path_rate=0.1, drop_rate=0.2)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (1, 1000)
+    n = count_parameters(variables["params"]) / 1e6
+    # timm eca_nfnet_l0 is 24.14M (reference 15.eca_nfnet_l0.yaml log)
+    assert 20 < n < 29, n
+    out2, _ = m.apply(variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_nfnet_signal_propagation():
+    """Variance must stay bounded through depth (the whole point of NF nets):
+    check activations at init don't explode for a deep config."""
+    from sota_imagenet_tpu.models.nfnet import NFNet
+
+    m = NFNet(depths=(1, 2, 2, 1), channels=(64, 128, 256, 256), stem_chs=(8, 16, 16, 32), final_mult=1.0, skipinit=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = m.init({"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.std(out)) < 50.0

@@ -30,11 +30,10 @@ def tiny_model():
 
 def make_runner(mesh, ema_decay=0.0, accumulate_steps=1, callbacks=None):
     stages = parse_stages([dict(start=0, end=2, lr=[0.1, 0.1])])
-    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9})
     return Runner(
         tiny_model(),
         CrossEntropyLoss(smoothing=0.1),
-        tx,
+        lambda sched: build_optimizer({"_target_": "sgd", "momentum": 0.9}, sched),
         lr_phases=phases_from_stages(stages),
         accumulate_steps=accumulate_steps,
         ema_decay=ema_decay,
@@ -76,7 +75,8 @@ def test_state_sharded_over_mesh(mesh8):
 
 def test_accumulation_matches_large_batch(mesh8):
     """grad accumulation == big batch for a linear model w/o BN."""
-    tx = build_optimizer({"_target_": "sgd"})
+    sched = lambda s: jnp.asarray(0.5, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd"}, sched)
     model = CModel(
         layer_config=[
             {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
@@ -84,7 +84,6 @@ def test_accumulation_matches_large_batch(mesh8):
         ]
     )
     crit = CrossEntropyLoss()
-    sched = lambda s: jnp.asarray(0.5, jnp.float32)
     step1 = steps_lib.build_train_step(model, crit, tx, sched, accumulate_steps=1, input_dtype=jnp.float32)
     step2 = steps_lib.build_train_step(model, crit, tx, sched, accumulate_steps=4, input_dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)

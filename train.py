@@ -90,6 +90,12 @@ def main(argv=None):
 
     log.info("Loading model")
     model = instantiate(cfg.model)
+    if cfg.weight_standardization:
+        # conv_to_ws_conv equivalent (reference train.py:66-67): forward WS
+        # parametrization over every conv kernel
+        from sota_imagenet_tpu.models.parametrize import ParametrizedModel, weight_standardization_fn
+
+        model = ParametrizedModel(model, weight_standardization_fn(cfg.init_gamma))
     criterion = instantiate(cfg.criterion)
 
     stages = parse_stages(cfg.run.stages)
@@ -118,17 +124,21 @@ def main(argv=None):
         callbacks.append(instantiate(clb_cfg))
 
     # build a throwaway state to derive the wd mask (params structure)
-    tx_nowd = build_optimizer(dict(cfg.optim))
-    probe = Runner(model, criterion, tx_nowd, lr_phases=lr_phases, input_dtype=input_dtype, rng=rng)
+    probe = Runner(
+        model, criterion, lambda sched: build_optimizer(dict(cfg.optim), sched), lr_phases=lr_phases,
+        input_dtype=input_dtype, rng=rng,
+    )
     init_shape = (2, cfg.loader.image_size, cfg.loader.image_size, 3)
     probe_state = probe.init_state(init_shape, rng)
     mask = wd_mask_fn(probe_state.params)
-    tx = build_optimizer(dict(cfg.optim), wd_mask=mask)
+
+    def tx_factory(sched):
+        return build_optimizer(dict(cfg.optim), sched, wd_mask=mask)
 
     runner = Runner(
         model,
         criterion,
-        tx,
+        tx_factory,
         lr_phases=lr_phases,
         callbacks=callbacks,
         accumulate_steps=cfg.run.accumulate_steps,
@@ -136,7 +146,7 @@ def main(argv=None):
         input_dtype=input_dtype,
         rng=rng,
     )
-    runner.state = probe_state.replace(opt_state=tx.init(probe_state.params))
+    runner.state = probe_state.replace(opt_state=runner.tx.init(probe_state.params))
     log.info(f"Model params: {count_parameters(runner.state.params) / 1e6:.2f}M")
 
     start_epoch = cfg.run.start_epoch
