@@ -67,14 +67,40 @@ def sample_random_crop(
     return (width - s) // 2, (height - s) // 2, s, s
 
 
+def _read_bytes(src: Union[str, bytes]) -> bytes:
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return bytes(src)
+    with open(src, "rb") as f:
+        return f.read()
+
+
 def decode_train(
     src: Union[str, bytes],
     rng: np.random.Generator,
     image_size: int,
     min_area: float = 0.08,
     random_interpolation: bool = False,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """Decode + random-resized-crop to (image_size, image_size, 3) uint8."""
+    """Decode + random-resized-crop to (image_size, image_size, 3) uint8.
+
+    Fast path: the native libjpeg core (data/native.py) fuses scaled decode,
+    crop and antialiased resize in C with the GIL released; PIL fallback
+    otherwise (identical distributions).
+    """
+    if use_native:
+        from sota_imagenet_tpu.data import native
+
+        if native.available():
+            data = _read_bytes(src)
+            dims = native.jpeg_dims(data)
+            if dims is not None:
+                w0, h0 = dims
+                x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
+                filt = native.FILT_CUBIC if (random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
+                out = native.decode_crop_resize(data, (x, y, w, h), (image_size, image_size), filt)
+                if out is not None:
+                    return out
     img = _open(src)
     w0, h0 = img.size
     x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
@@ -104,8 +130,16 @@ def val_resize_size(image_size: int, full_crop: bool = False) -> int:
     return int(math.ceil((image_size * 1.14 + 8) // 16 * 16))
 
 
-def decode_val(src: Union[str, bytes], image_size: int, full_crop: bool = False) -> np.ndarray:
+def decode_val(src: Union[str, bytes], image_size: int, full_crop: bool = False, use_native: bool = True) -> np.ndarray:
     """Decode → resize shorter side → center crop (dali_dataloader.py:145-158)."""
+    if use_native:
+        from sota_imagenet_tpu.data import native
+
+        if native.available():
+            data = _read_bytes(src)
+            out = native.decode_val(data, val_resize_size(image_size, full_crop), image_size)
+            if out is not None:
+                return out
     img = _open(src)
     w0, h0 = img.size
     resize_shorter = val_resize_size(image_size, full_crop)

@@ -1,0 +1,117 @@
+"""ctypes binding for the native decode core (native/imgpipe.cpp).
+
+The C calls release the GIL, so a plain ThreadPoolExecutor gets real
+multi-core decode — the role DALI's C++ pipeline threads played
+(SURVEY.md §2.3). Falls back cleanly when the .so isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+FILT_TRIANGULAR = 0
+FILT_CUBIC = 1
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libimgpipe.so"),
+        os.path.join(os.path.dirname(__file__), "libimgpipe.so"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _try_build() -> None:
+    """Best-effort one-shot build of the .so (make -C native)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ndir = os.path.join(here, "native")
+    if os.path.exists(os.path.join(ndir, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", ndir], capture_output=True, timeout=120, check=False)
+        except Exception:
+            pass
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        _try_build()
+        path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ip_jpeg_dims.argtypes = [u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.ip_jpeg_dims.restype = ctypes.c_int
+    lib.ip_decode_crop_resize.argtypes = [u8p, ctypes.c_size_t] + [ctypes.c_int] * 7 + [u8p]
+    lib.ip_decode_crop_resize.restype = ctypes.c_int
+    lib.ip_decode_val.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, u8p]
+    lib.ip_decode_val.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _as_u8p(data: bytes):
+    return ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
+
+
+def jpeg_dims(data: bytes):
+    lib = load()
+    if lib is None:
+        return None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.ip_jpeg_dims(_as_u8p(data), len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+def decode_crop_resize(
+    data: bytes,
+    crop: tuple,  # (x, y, w, h) in full-res coords; (0,0,0,0) = full image
+    out_size: tuple,  # (w, h)
+    filt: int = FILT_TRIANGULAR,
+) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    out_w, out_h = out_size
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.ip_decode_crop_resize(
+        _as_u8p(data), len(data), crop[0], crop[1], crop[2], crop[3], out_w, out_h, filt,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_val(data: bytes, resize_shorter: int, crop: int) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty((crop, crop, 3), np.uint8)
+    rc = lib.ip_decode_val(
+        _as_u8p(data), len(data), resize_shorter, crop, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out if rc == 0 else None
