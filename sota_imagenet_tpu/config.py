@@ -167,6 +167,9 @@ class StrictConfig:
     log: LoggerConfig = field(default_factory=LoggerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     debug: bool = False
+    # TPU replacement for AMP grad-scaler NaN handling (SURVEY.md §5.2): bf16
+    # needs no scaler; this flag turns on jax NaN checking for debugging
+    debug_nans: bool = False
     random_seed: Optional[int] = 42
 
 

@@ -27,10 +27,7 @@ from typing import Optional, Tuple, Union
 import numpy as np
 from PIL import Image
 
-# normalization constants (reference dali_dataloader.py:27-29 — deliberately
-# NOT ImageNet stats: normalize to roughly [-2.5, 2.5])
-DATA_MEAN = 0.5 * 255.0
-DATA_STD = 0.2 * 255.0
+from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD  # noqa: F401 (re-export)
 
 TRIANGULAR = Image.BILINEAR
 CUBIC = Image.BICUBIC

@@ -390,6 +390,30 @@ class Yolo5_C3(nn.Module):
         return cv("cv3")(jnp.concatenate([block_inp, res], axis=-1))
 
 
+class FusedRepVGGBlock(nn.Module):
+    """RepVGG block (arXiv:2101.03697; pytorch_tools FusedRepVGGBlock used by
+    the reference's BNet CModel configs, model.py:1232-1247): parallel
+    3x3-BN + 1x1-BN + (identity-BN when shapes match), summed, then act.
+    At inference the three branches are algebraically one 3x3 conv — XLA
+    constant-folds the BN scales, so no explicit re-parameterization pass is
+    needed on TPU."""
+
+    in_chs: int = 0
+    out_chs: int = 0
+    stride: int = 1
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        out = Conv(out_chs=self.out_chs, kernel_size=3, stride=self.stride, padding=1, use_bias=False, name="conv3")(x)
+        out = BatchNorm(name="bn3")(out, train=train)
+        out1 = Conv(out_chs=self.out_chs, kernel_size=1, stride=self.stride, padding=0, use_bias=False, name="conv1")(x)
+        out = out + BatchNorm(name="bn1")(out1, train=train)
+        if self.in_chs == self.out_chs and self.stride == 1:
+            out = out + BatchNorm(name="bn_id")(x, train=train)
+        return activation_from_name(self.activation)(out)
+
+
 class ConvBnAct(nn.Module):
     """conv3x3 + BN + activation — convenience for VGG-style CModel configs
     (the reference writes the three layers out each time, 62.vgg-cmodel.yaml)."""
@@ -404,6 +428,28 @@ class ConvBnAct(nn.Module):
         x = Conv(out_chs=self.out_chs, kernel_size=3, stride=self.stride, padding=1, use_bias=False)(x)
         x = BatchNorm()(x, train=train)
         return activation_from_name(self.activation)(x)
+
+
+class ConvResidual(nn.Module):
+    """A single conv with a (partial) residual around it
+    (reference ConvResidual, model.py:1038-1053)."""
+
+    in_chs: int = 0
+    out_chs: int = 0
+    kernel_size: int = 3
+    stride: int = 1
+    scaled: bool = True
+    conv_kwargs: Optional[Dict] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        if self.in_chs > self.out_chs:
+            raise ValueError("in_chs > out_chs unsupported (reference model.py:1052)")
+        ck = dict(self.conv_kwargs or {})
+        conv_cls = ScaledStdConv if self.scaled else Conv
+        pad = self.kernel_size // 2
+        out = conv_cls(out_chs=self.out_chs, kernel_size=self.kernel_size, stride=self.stride, padding=pad, **ck)(x)
+        return partial_residual(out, x)
 
 
 class Residual(nn.Module):

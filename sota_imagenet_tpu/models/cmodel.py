@@ -95,6 +95,7 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "Yolo5_C3": lambda i, **kw: B.Yolo5_C3(in_chs=i, **kw),
     "ConvMixerBlock": lambda dim, k=9, **kw: B.ConvMixerBlock(dim=dim, kernel_size=k, **kw),
     "ConvBnAct": lambda i, o, **kw: B.ConvBnAct(in_chs=i, out_chs=o, **kw),
+    "FusedRepVGGBlock": lambda i, o, **kw: B.FusedRepVGGBlock(in_chs=i, out_chs=o, **kw),
     # convs
     "scaled_conv3x3": L.scaled_conv3x3,
     "scaled_conv1x1": L.scaled_conv1x1,
@@ -122,6 +123,9 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "ChannelShuffle": lambda g=1, **kw: L.ChannelShuffle(groups=g),
     "FastGlobalAvgPool2d": lambda *a, **kw: L.FastGlobalAvgPool(**kw),
     "GEM_pool": lambda *a, **kw: L.GEMPool(**kw),
+    "GEM_pool_channel": lambda c=0, **kw: L.GEMPoolChannel(num_channels=c, **kw),
+    "ConvResidual": lambda i, o, **kw: B.ConvResidual(in_chs=i, out_chs=o, **kw),
+    "Residual": lambda fn=None, **kw: B.Residual(fn=fn),
     "MaxPool2d": lambda w=3, s=None, p=0, **kw: L.MaxPool(window=w, stride=s if s is not None else w, padding=p),
     "Linear": L.linear,
     "Dropout": _dropout,

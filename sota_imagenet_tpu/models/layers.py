@@ -158,6 +158,22 @@ class GEMPool(nn.Module):
         return out.astype(x.dtype)
 
 
+class GEMPoolChannel(nn.Module):
+    """GEM pool with per-channel learnable p (reference GEM_pool_channel,
+    model.py:764-771)."""
+
+    num_channels: int = 0
+    eps: float = 1e-6
+    flatten: bool = True
+
+    @nn.compact
+    def __call__(self, x, **_):
+        p = self.param("p", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = jnp.clip(x.astype(jnp.float32), self.eps, None)
+        out = jnp.mean(xf**p, axis=(1, 2), keepdims=not self.flatten) ** (1.0 / p)
+        return out.astype(x.dtype)
+
+
 def max_pool(x, window: int = 3, stride: int = 2, padding: int = 1):
     """torch-style MaxPool2d(window, stride, padding) in NHWC."""
     return nn.max_pool(

@@ -18,7 +18,7 @@ from typing import Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from sota_imagenet_tpu.data.decode import DATA_MEAN, DATA_STD
+from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
 
 
 def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +93,35 @@ def _gaussian_blur(img, sigma, window: int = 11):
     return conv_axis(conv_axis(img, 0), 1)
 
 
+def _batch_gaussian_blur(images, sigmas, window: int = 11):
+    """Per-sample-sigma separable blur for the whole batch in TWO depthwise
+    convs: samples are packed into the channel dim and each channel gets its
+    own kernel (feature_group_count = B*3). Avoids vmapping a conv per sample,
+    which multiplies compile time by B."""
+    b, h, w, c = images.shape
+    r = window // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * (xs[None, :] / jnp.maximum(sigmas[:, None], 1e-3)) ** 2)  # (B, win)
+    kern = kern / jnp.sum(kern, axis=1, keepdims=True)
+    kern_bc = jnp.repeat(kern, c, axis=0)  # (B*C, win), per packed channel
+    # pack: (B,H,W,C) -> (1, H, W, B*C)
+    x = jnp.transpose(images, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+
+    def dw(x, kernel_hw):  # kernel (kh, kw, 1, B*C)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel_hw,
+            (1, 1),
+            ((kernel_hw.shape[0] // 2, kernel_hw.shape[0] // 2), (kernel_hw.shape[1] // 2, kernel_hw.shape[1] // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=b * c,
+        )
+
+    x = dw(x, kern_bc.T.reshape(window, 1, 1, b * c))  # vertical
+    x = dw(x, kern_bc.T.reshape(1, window, 1, b * c))  # horizontal
+    return jnp.transpose(x.reshape(h, w, b, c), (2, 0, 1, 3))
+
+
 def _random_erase(key, img, re_count: int, fill: float):
     """DALI fn.erase with normalized anchor/shape (dali_dataloader.py:100-110):
     re_count boxes, anchor ~ U[0,1], shape ~ U[0.05,0.25]."""
@@ -122,16 +151,61 @@ def build_train_augment(
     re_prob: float = 0.0,
     re_count: int = 3,
     out_dtype=jnp.bfloat16,
+    use_pallas: bool = None,
 ) -> Callable:
-    """Returns jitted fn(rng, images_u8, labels) -> {'image', 'label'}."""
+    """Returns jitted fn(rng, images_u8, labels) -> {'image', 'label'}.
+
+    On TPU the color/erase/normalize chain runs as ONE fused Pallas kernel
+    with on-core PRNG (ops/pallas_aug.py); mirror (a layout op) and blur
+    (a conv) stay in XLA. The pure-XLA path below is the reference
+    implementation and the CPU/test path.
+    """
+    import jax.extend.backend
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from sota_imagenet_tpu.ops.pallas_aug import draw_augment_scalars, pallas_augment
+
+        @jax.jit
+        def pallas_path(rng, images_u8, labels):
+            k_blur, k_sig, k_mir, k_sc = jax.random.split(rng, 4)
+            bsz = images_u8.shape[0]
+            if blur_prob > 0:
+                imgf = images_u8.astype(jnp.float32)
+                sigmas = jax.random.uniform(k_sig, (bsz,), minval=0.5, maxval=1.1)
+                blurred = _batch_gaussian_blur(imgf, sigmas)
+                pick = jax.random.bernoulli(k_blur, blur_prob, (bsz, 1, 1, 1))
+                images_u8 = jnp.clip(jnp.where(pick, blurred, imgf), 0, 255).astype(jnp.uint8)
+            mir = jax.random.bernoulli(k_mir, 0.5, (bsz, 1, 1, 1))
+            images_u8 = jnp.where(mir, images_u8[:, :, ::-1, :], images_u8)
+            scalars = draw_augment_scalars(
+                k_sc,
+                images_u8.shape[0],
+                color_twist_prob=color_twist_prob,
+                contrast_range=tuple(contrast_range),
+                brightness_range=tuple(brightness_range),
+                gray_prob=gray_prob,
+                re_prob=re_prob,
+                re_count=re_count,
+            )
+            images = pallas_augment(
+                images_u8,
+                scalars,
+                color_twist_prob=color_twist_prob,
+                gray_prob=gray_prob,
+                re_prob=re_prob,
+                re_count=re_count,
+                out_dtype=out_dtype,
+            )
+            onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+            return {"image": images, "label": onehot}
+
+        return pallas_path
 
     def per_sample(key, img_u8):
         img = img_u8.astype(jnp.float32)
         keys = jax.random.split(key, 6)
-        if blur_prob > 0:
-            sigma = jax.random.uniform(keys[1], (), minval=0.5, maxval=1.1)
-            blurred = _gaussian_blur(img, sigma)
-            img = jnp.where(jax.random.bernoulli(keys[0], blur_prob), blurred, img)
         if color_twist_prob > 0:
             twisted = _color_twist(keys[2], img, contrast_range, brightness_range)
             img = jnp.where(jax.random.bernoulli(jax.random.fold_in(keys[2], 1), color_twist_prob), twisted, img)
@@ -147,7 +221,17 @@ def build_train_augment(
 
     @jax.jit
     def augment(rng, images_u8, labels):
-        keys = jax.random.split(rng, images_u8.shape[0])
+        bsz = images_u8.shape[0]
+        k_blur, k_sig, k_rest = jax.random.split(rng, 3)
+        if blur_prob > 0:
+            # batch-level blur (per-sample sigma packed into channels) —
+            # vmapping a conv per sample multiplies compile time by B
+            imgf = images_u8.astype(jnp.float32)
+            sigmas = jax.random.uniform(k_sig, (bsz,), minval=0.5, maxval=1.1)
+            blurred = _batch_gaussian_blur(imgf, sigmas)
+            pick = jax.random.bernoulli(k_blur, blur_prob, (bsz, 1, 1, 1))
+            images_u8 = jnp.clip(jnp.where(pick, blurred, imgf), 0, 255).astype(jnp.uint8)
+        keys = jax.random.split(k_rest, bsz)
         images = jax.vmap(per_sample)(keys, images_u8).astype(out_dtype)
         onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
         return {"image": images, "label": onehot}

@@ -280,6 +280,35 @@ class OrthoInitClb(Callback):
 # --------------------------------------------------------------------------- #
 
 
+class Profiler(Callback):
+    """jax.profiler trace over a step window (SURVEY.md §5.1 — the reference
+    had no profiler integration at all). Produces a TensorBoard-viewable
+    trace under <log_dir>/plugins/profile."""
+
+    def __init__(self, log_dir: str = ".", start_step: int = 10, num_steps: int = 5):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def on_batch_end(self, step, metrics):
+        if not is_master():
+            return
+        if step == self.start_step and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step >= self.stop_step and self._active:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            self._active = False
+            get_logger().info(f"Profiler trace written to {self.log_dir}")
+
+    def on_end(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class ConsoleLogger(Callback):
     """Epoch summary lines (reference ConsoleLogger + FileLogger; both write
     through the shared logger, which already has stdout+file sinks)."""
@@ -310,7 +339,9 @@ class Timer(Callback):
             return
         dt = time.time() - self._t0
         ips = self._images / dt if dt > 0 else 0.0
-        get_logger().info(f"Epoch {epoch:3d} | {dt:.1f}s | {ips:.1f} img/s")
+        util = train_metrics.get("input_utilization")
+        util_s = f" | input util {util * 100:.1f}%" if util is not None else ""
+        get_logger().info(f"Epoch {epoch:3d} | {dt:.1f}s | {ips:.1f} img/s{util_s}")
 
 
 class CheckpointSaver(Callback):
@@ -432,3 +463,4 @@ registry.register("OrthoInitClb", aliases=("src.callbacks.OrthoInitClb",))(Ortho
 registry.register("WeightDistributionTB", aliases=("src.callbacks.WeightDistributionTB",))(WeightDistributionTB)
 registry.register("SpectralDistributionTB", aliases=("src.callbacks.SpectralDistributionTB",))(SpectralDistributionTB)
 registry.register("GradDistributionTB", aliases=("src.callbacks.GradDistributionTB",))(GradDistributionTB)
+registry.register("Profiler")(Profiler)

@@ -167,21 +167,38 @@ class Runner:
                 c.on_epoch_begin(epoch)
             dev_metrics: List[Dict[str, jnp.ndarray]] = []
             t0 = time.time()
-            for i, batch in enumerate(loader):
-                if i >= spe:
+            data_time = 0.0  # host time blocked waiting for input batches
+            it = iter(loader)
+            i = 0
+            while i < spe:
+                td = time.perf_counter()
+                try:
+                    batch = next(it)
+                except StopIteration:
                     break
+                data_time += time.perf_counter() - td
                 self.state, m = self._train_step(self.state, batch, self.rng)
                 dev_metrics.append(m)
                 step = int(i + epoch * spe)
                 for c in self.callbacks:
                     c.on_batch_end(step, m)
+                i += 1
             # epoch reduce (single host sync)
             stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dev_metrics) if dev_metrics else {}
             host = jax.device_get(jax.tree_util.tree_map(jnp.mean, stacked)) if dev_metrics else {}
             self.train_metrics = {k: float(v) for k, v in host.items()}
-            self.train_metrics["epoch_time_s"] = time.time() - t0
+            wall = time.time() - t0
+            self.train_metrics["epoch_time_s"] = wall
+            self.train_metrics["data_time_s"] = data_time
+            # accelerator utilization proxy: 1 - input-wait fraction (the
+            # north-star wants >= 95%, BASELINE.json)
+            self.train_metrics["input_utilization"] = max(1.0 - data_time / max(wall, 1e-9), 0.0)
+            # validate with EMA weights when EMA is on (the reference's
+            # ModelEma swaps in the averaged weights for eval, train.py:135)
             self.val_metrics = (
-                self.evaluate(val_loader, steps=val_steps, _internal=True) if val_loader is not None else {}
+                self.evaluate(val_loader, steps=val_steps, use_ema=self.ema_decay > 0, _internal=True)
+                if val_loader is not None
+                else {}
             )
             for c in self.callbacks:
                 c.on_epoch_end(epoch, self.train_metrics, self.val_metrics)

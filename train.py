@@ -81,6 +81,8 @@ def main(argv=None):
     log.info(C.to_yaml(cfg))
     log.info(f"JAX {jax.__version__} | devices: {jax.device_count()} ({jax.devices()[0].platform})")
 
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if cfg.random_seed is not None:
         set_random_seed(cfg.random_seed)
     rng = jax.random.PRNGKey(cfg.random_seed or 0)
