@@ -288,7 +288,10 @@ class NonDeepBlock(nn.Module):
                 raise ValueError("XCA requires in_chs == out_chs")
             out = out + XCA(dim=self.out_chs, residual=False, **self.xca_kwargs)(x_norm)
         elif self.ufo_kwargs is not None:
-            out = out + UFO(dim=self.in_chs, out_dim=self.out_chs, residual=False, **self.ufo_kwargs)(x_norm)
+            uk = dict(self.ufo_kwargs)
+            if self.in_chs != self.out_chs:
+                uk["last_proj"] = True  # projection required to reach out_chs
+            out = out + UFO(dim=self.in_chs, out_dim=self.out_chs, residual=False, **uk)(x_norm)
         elif self.use_se and self.in_chs == self.out_chs:
             out = out + SEVar3(channels=self.out_chs, scaled=self.scaled)(x_norm)
         if self.residual:

@@ -127,6 +127,10 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "ConvResidual": lambda i, o, **kw: B.ConvResidual(in_chs=i, out_chs=o, **kw),
     "Residual": lambda fn=None, **kw: B.Residual(fn=fn),
     "MaxPool2d": lambda w=3, s=None, p=0, **kw: L.MaxPool(window=w, stride=s if s is not None else w, padding=p),
+    "AvgPool2d": lambda w=2, s=None, p=0, **kw: L.AvgPool(window=w, stride=s if s is not None else w, padding=p),
+    "Conv2d": lambda i, o, k=3, stride=1, padding=0, bias=True, groups=1, **kw: L.Conv(
+        out_chs=o, kernel_size=k, stride=stride, padding=padding, use_bias=bias, groups=groups
+    ),
     "Linear": L.linear,
     "Dropout": _dropout,
     "Identity": lambda *a, **kw: N.Identity(),

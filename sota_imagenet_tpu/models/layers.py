@@ -194,6 +194,23 @@ class MaxPool(nn.Module):
         return max_pool(x, self.window, self.stride, self.padding)
 
 
+class AvgPool(nn.Module):
+    """torch-style AvgPool2d (used by CModel configs, e.g. nn.AvgPool2d [2,2])."""
+
+    window: int = 2
+    stride: int = 2
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x, **_):
+        return nn.avg_pool(
+            x,
+            window_shape=(self.window, self.window),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+        )
+
+
 class BlurPool(nn.Module):
     """Anti-aliased downsampling (Zhang 2019); pytorch_tools BlurPool equivalent
     used as `pt.modules.BlurPool` in CModel configs and BResNet `antialias`.

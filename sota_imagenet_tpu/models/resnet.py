@@ -38,7 +38,7 @@ class _NormAct(nn.Module):
     """BN + activation (ABN-style); `activation='identity'` for plain BN."""
 
     activation: str = "relu"
-    momentum: float = 0.1
+    momentum: float = 0.1  # torch convention (cfg.bn_momentum; reference train.py:76)
     dtype: Dtype = None
 
     @nn.compact
@@ -49,6 +49,7 @@ class _NormAct(nn.Module):
 
 class BasicBlock(nn.Module):
     planes: int = 64
+    bn_momentum: float = 0.1
     stride: int = 1
     downsample: bool = False
     norm_act: str = "relu"
@@ -66,9 +67,9 @@ class BasicBlock(nn.Module):
         out = Conv(out_chs=p, kernel_size=3, stride=conv_stride, padding=1, use_bias=False, dtype=dt)(x)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
-        out = _NormAct(activation=self.norm_act, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt)(out, train=train)
         out = Conv(out_chs=p, kernel_size=3, padding=1, use_bias=False, dtype=dt)(out)
-        out = BatchNorm(dtype=dt)(out, train=train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(p)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -79,12 +80,13 @@ class BasicBlock(nn.Module):
                 res = Conv(out_chs=p, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
             else:
                 res = Conv(out_chs=p, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-            res = BatchNorm(dtype=dt, name="down_bn")(res, train=train)
+            res = BatchNorm(momentum=self.bn_momentum, dtype=dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
 class Bottleneck(nn.Module):
     planes: int = 64
+    bn_momentum: float = 0.1
     stride: int = 1
     downsample: bool = False
     groups: int = 1
@@ -103,14 +105,14 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_chs = self.planes * self.expansion
         out = Conv(out_chs=width, kernel_size=1, padding=0, use_bias=False, dtype=dt)(x)
-        out = _NormAct(activation=self.norm_act, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt)(out, train=train)
         conv_stride = 1 if self.antialias else self.stride
         out = Conv(out_chs=width, kernel_size=3, stride=conv_stride, padding=1, groups=self.groups, use_bias=False, dtype=dt)(out)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
-        out = _NormAct(activation=self.norm_act, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt)(out, train=train)
         out = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt)(out)
-        out = BatchNorm(dtype=dt)(out, train=train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(out_chs)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -121,7 +123,7 @@ class Bottleneck(nn.Module):
                 res = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
             else:
                 res = Conv(out_chs=out_chs, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-            res = BatchNorm(dtype=dt, name="down_bn")(res, train=train)
+            res = BatchNorm(momentum=self.bn_momentum, dtype=dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
@@ -134,6 +136,7 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     stem_type: str = ""  # "" | "deep" | "space2depth"
+    bn_momentum: float = 0.1  # reference patch_bn_mom (train.py:76)
     norm_act: str = "relu"
     antialias: bool = False
     attn_type: Optional[str] = None
@@ -150,15 +153,15 @@ class ResNet(nn.Module):
         if self.stem_type == "space2depth":
             x = SpaceToDepth(block_size=4)(x)  # 3 -> 48 chs, /4 spatial
             x = Conv(out_chs=64, kernel_size=3, padding=1, use_bias=False, dtype=dt, name="stem_conv")(x)
-            x = _NormAct(activation=self.norm_act, dtype=dt, name="stem_bn")(x, train=train)
+            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt, name="stem_bn")(x, train=train)
         elif self.stem_type == "deep":
             for i, chs in enumerate((32, 32, 64)):
                 x = Conv(out_chs=chs, kernel_size=3, stride=2 if i == 0 else 1, padding=1, use_bias=False, dtype=dt, name=f"stem_conv{i}")(x)
-                x = _NormAct(activation=self.norm_act, dtype=dt, name=f"stem_bn{i}")(x, train=train)
+                x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt, name=f"stem_bn{i}")(x, train=train)
             x = max_pool(x, 3, 2, 1)
         else:
             x = Conv(out_chs=64, kernel_size=7, stride=2, padding=3, use_bias=False, dtype=dt, name="stem_conv")(x)
-            x = _NormAct(activation=self.norm_act, dtype=dt, name="stem_bn")(x, train=train)
+            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt, name="stem_bn")(x, train=train)
             x = max_pool(x, 3, 2, 1)
 
         # --- stages ---
@@ -174,6 +177,7 @@ class ResNet(nn.Module):
                 keep_prob = 1.0 - self.drop_connect_rate * block_idx / max(total_blocks - 1, 1)
                 x = self.block(
                     planes=planes,
+                    bn_momentum=self.bn_momentum,
                     stride=stride,
                     downsample=downsample,
                     norm_act=self.norm_act,

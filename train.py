@@ -91,7 +91,16 @@ def main(argv=None):
     input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
 
     log.info("Loading model")
-    model = instantiate(cfg.model)
+    model_cfg = dict(cfg.model)
+    if cfg.bn_momentum != 0.1 and "bn_momentum" not in model_cfg:
+        # patch_bn_mom equivalent (reference train.py:76); models that don't
+        # take the kwarg (CModel etc. set norm kwargs directly) fall through
+        try:
+            model = instantiate({**model_cfg, "bn_momentum": cfg.bn_momentum})
+        except TypeError:
+            model = instantiate(model_cfg)
+    else:
+        model = instantiate(model_cfg)
     if cfg.weight_standardization:
         # conv_to_ws_conv equivalent (reference train.py:66-67): forward WS
         # parametrization over every conv kernel
