@@ -13,6 +13,7 @@ def accuracy_topk(logits: jnp.ndarray, target: jnp.ndarray, k: int = 1) -> jnp.n
     """Fraction of samples whose target class is in the top-k logits.
     Soft/mixed targets reduce via argmax (reference Accuracy on one-hot)."""
     labels = target if target.ndim == 1 else jnp.argmax(target, axis=-1)
+    k = min(k, logits.shape[-1])  # Acc@5 on <5-class toy problems
     if k == 1:
         pred = jnp.argmax(logits, axis=-1)
         return jnp.mean((pred == labels).astype(jnp.float32)) * 100.0
