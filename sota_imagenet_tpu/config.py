@@ -117,6 +117,10 @@ class RunnerConfig:
 
     stages: List[Any] = field(default_factory=lambda: [dict(start=0, end=90, lr=[0.1, 0])])
     resume: Optional[str] = None
+    # find the newest checkpoint under log.dir for this exp_name and resume
+    # from it (preemption-friendly; no reference analog — recovery there was
+    # re-launching by hand with run.resume, SURVEY.md §5.3)
+    auto_resume: bool = False
     load_start_epoch: bool = True
     start_epoch: int = 0
     accumulate_steps: int = 1

@@ -161,6 +161,16 @@ def main(argv=None):
     log.info(f"Model params: {count_parameters(runner.state.params) / 1e6:.2f}M")
 
     start_epoch = cfg.run.start_epoch
+    if cfg.run.auto_resume and not cfg.run.resume:
+        import glob as _glob
+
+        cands = sorted(
+            _glob.glob(os.path.join(cfg.log.dir, f"*_{cfg.log.exp_name}", "*", "model*.ckpt")),
+            key=os.path.getmtime,
+        )
+        if cands:
+            cfg.run.resume = cands[-1]
+            log.info(f"auto_resume: found {cfg.run.resume}")
     if cfg.run.resume:
         runner.state, ckpt_epoch = load_checkpoint(cfg.run.resume, runner.state)
         # restored arrays are committed to one device; re-replicate over the mesh
