@@ -107,6 +107,8 @@ def main(argv=None):
         from sota_imagenet_tpu.models.parametrize import ParametrizedModel, weight_standardization_fn
 
         model = ParametrizedModel(model, weight_standardization_fn(cfg.init_gamma))
+    if cfg.log.print_model:  # reference train.py:78-79
+        log.info(str(model))
     criterion = instantiate(cfg.criterion)
 
     stages = parse_stages(cfg.run.stages)
