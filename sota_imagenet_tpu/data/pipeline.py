@@ -185,14 +185,49 @@ class DeviceFeed:
             self._step += 1
             return self.augment(jax.random.fold_in(self.rng, self._step), g_img, g_lab)
 
-        it = iter(self.host)
+        # background producer: host decode keeps running while the consumer
+        # is busy (dispatching steps / evaluating) — the DALI worker-thread
+        # role (SURVEY.md §3.1 hot loop (2))
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
+        _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for item in self.host:
+                    if not _put(item):
+                        return  # consumer abandoned the epoch (e.g. debug mode)
+                _put(_END)
+            except BaseException as e:  # surface decode errors to the consumer
+                _put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
         pending = []
-        for item in it:
-            pending.append(produce(item))
-            if len(pending) > self.prefetch:
-                yield pending.pop(0)
-        for p in pending:
-            yield p
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                pending.append(produce(item))
+                if len(pending) > self.prefetch:
+                    yield pending.pop(0)
+            for p in pending:
+                yield p
+        finally:
+            stop.set()
 
 
 # --------------------------------------------------------------------------- #
