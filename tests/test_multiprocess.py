@@ -1,0 +1,96 @@
+"""True multi-process data-parallel smoke: two JAX processes rendezvous via
+jax.distributed (the reference's NCCL env:// init, train.py:58-61), build one
+global mesh over 2x4 virtual CPU devices, and run sharded train steps. Each
+process feeds only its local half of the global batch
+(make_array_from_process_local_data), like per-rank DALI shards."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models.cmodel import CModel
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+    from sota_imagenet_tpu.train import steps as steps_lib
+
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+    mesh = create_mesh()
+    model = CModel(layer_config=[
+        {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+        {"module": "BatchNorm2d", "args": [8]},
+        {"module": "ReLU"},
+        {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+        {"module": "Linear", "args": [8, 10]},
+    ])
+    crit = CrossEntropyLoss(smoothing=0.1)
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9}, sched)
+    rng = jax.random.PRNGKey(0)
+    state = steps_lib.init_state(model, tx, (2, 16, 16, 3), rng, input_dtype=jnp.float32)
+    state = jax.device_put(state, replicate(mesh))
+    step = jax.jit(steps_lib.build_train_step(model, crit, tx, sched, input_dtype=jnp.float32),
+                   donate_argnums=(0,))
+
+    pid = jax.process_index()
+    # global batch 16: each process holds its local half (8 samples)
+    local = np.random.default_rng(100 + pid).normal(size=(8, 16, 16, 3)).astype(np.float32)
+    local_labels = np.eye(10, dtype=np.float32)[np.arange(8) % 10]
+    sh = batch_sharding(mesh)
+    batch = {
+        "image": jax.make_array_from_process_local_data(sh, local),
+        "label": jax.make_array_from_process_local_data(sh, local_labels),
+    }
+    with mesh:
+        for _ in range(3):
+            state, m = step(state, batch, rng)
+    loss = float(jax.device_get(m["loss"]))
+    acc = float(jax.device_get(m["Acc@1"]))
+    print(f"RESULT pid={pid} loss={loss:.6f} acc={acc:.4f}", flush=True)
+    """
+)
+
+
+def test_two_process_data_parallel(tmp_path):
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{s.getsockname()[1]}"
+    s.close()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_")}
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid)],
+            env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    results = [l for o in outs for l in o.splitlines() if l.startswith("RESULT")]
+    assert len(results) == 2, outs
+    # both processes observe the SAME global loss (grad all-reduce worked)
+    losses = sorted(float(r.split("loss=")[1].split()[0]) for r in results)
+    assert abs(losses[0] - losses[1]) < 1e-6, results
