@@ -345,13 +345,22 @@ class Timer(Callback):
 
 
 class CheckpointSaver(Callback):
-    """Save TrainState each epoch (reference CheckpointSaver, train.py:134).
+    """Save TrainState each epoch + keep the best by monitored val metric
+    (pytorch_tools CheckpointSaver monitors loss; reference train.py:134).
     EMA lives inside TrainState — no ordering constraint needed."""
 
-    def __init__(self, save_dir: str = ".", save_name: str = "model.ckpt", include_optimizer: bool = False):
+    def __init__(
+        self,
+        save_dir: str = ".",
+        save_name: str = "model.ckpt",
+        include_optimizer: bool = False,
+        monitor: str = "loss",  # val metric; lower is better unless it's an Acc
+    ):
         self.save_dir = save_dir
         self.save_name = save_name
         self.include_optimizer = include_optimizer
+        self.monitor = monitor
+        self._best: Optional[float] = None
 
     def on_epoch_end(self, epoch, train_metrics, val_metrics):
         if self.runner is None:
@@ -363,6 +372,16 @@ class CheckpointSaver(Callback):
             state = state.replace(opt_state=None)  # halves the file (reference log.save_optim)
         os.makedirs(self.save_dir, exist_ok=True)
         save_checkpoint(self.save_dir, state, epoch, name=self.save_name)
+        val = (val_metrics or {}).get(self.monitor)
+        if val is None:
+            return
+        better = val > (self._best if self._best is not None else -1e30) if self.monitor.startswith("Acc") else (
+            val < (self._best if self._best is not None else 1e30)
+        )
+        if better:
+            self._best = val
+            save_checkpoint(self.save_dir, state, epoch, name="model_best.ckpt")
+            get_logger().info(f"Epoch {epoch:3d} | new best {self.monitor}: {val:.4f}")
 
 
 class TensorBoard(Callback):

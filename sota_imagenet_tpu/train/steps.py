@@ -126,9 +126,12 @@ def init_state(
 
 
 def _unitwise_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-output-unit norm. torch weights are (out, ...) and norm over all
+    axes but the FIRST (reference optimizers.py:16-22); flax kernels are
+    (..., out), so we norm over all axes but the LAST."""
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    axes = tuple(range(1, x.ndim))
+    axes = tuple(range(x.ndim - 1))
     return jnp.sqrt(jnp.sum(x**2, axis=axes, keepdims=True))
 
 
