@@ -115,3 +115,80 @@ def decode_val(data: bytes, resize_shorter: int, crop: int) -> Optional[np.ndarr
         _as_u8p(data), len(data), resize_shorter, crop, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     )
     return out if rc == 0 else None
+
+
+class BatchExecutor:
+    """Persistent C++ worker pool decoding whole batches with one call per
+    batch (native/pipeline.cpp) — the DALI-executor role. Supports
+    double-buffering via (submit, wait) tickets."""
+
+    def __init__(self, workers: int = 8):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("libimgpipe.so not available")
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        if not hasattr(lib, "pp_create"):
+            raise RuntimeError("libimgpipe.so too old: rebuild (make -C native)")
+        lib.pp_create.argtypes = [ctypes.c_int]
+        lib.pp_create.restype = ctypes.c_void_p
+        lib.pp_destroy.argtypes = [ctypes.c_void_p]
+        lib.pp_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            u8p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pp_submit.restype = ctypes.c_int
+        lib.pp_wait.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int)]
+        lib.pp_wait.restype = ctypes.c_int
+        self._lib = lib
+        self._handle = lib.pp_create(int(workers))
+        self._ticket = 0
+        self._inflight = {}  # ticket -> (out_array, keepalive refs, n)
+
+    def submit(self, datas, crops, filts, out_size) -> int:
+        """datas: list[bytes]; crops: (n,4) int array-like; filts: (n,);
+        out_size: (w, h). Returns a ticket. Non-blocking."""
+        n = len(datas)
+        out_w, out_h = out_size
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        ptrs = (ctypes.c_char_p * n)(*datas)
+        lens = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+        crops_arr = np.ascontiguousarray(np.asarray(crops, np.int32)).reshape(-1)
+        filts_arr = np.ascontiguousarray(np.asarray(filts, np.int32))
+        self._ticket += 1
+        t = self._ticket
+        rc = self._lib.pp_submit(
+            self._handle, t, n,
+            ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_char_p)),
+            lens,
+            crops_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            filts_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_w, out_h,
+        )
+        if rc != 0:
+            raise RuntimeError(f"pp_submit failed: {rc}")
+        # keep buffers alive until wait()
+        self._inflight[t] = (out, (datas, ptrs, lens, crops_arr, filts_arr), n)
+        return t
+
+    def wait(self, ticket: int):
+        """Blocks; returns (images (n,h,w,3) uint8, failed_indices list)."""
+        out, _keep, n = self._inflight.pop(ticket)
+        fails = (ctypes.c_int * n)()
+        nf = self._lib.pp_wait(self._handle, ticket, fails)
+        if nf < 0:
+            raise RuntimeError("pp_wait: unknown ticket")
+        return out, [fails[i] for i in range(nf)]
+
+    def close(self):
+        if self._handle:
+            self._lib.pp_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass

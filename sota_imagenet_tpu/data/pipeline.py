@@ -126,6 +126,51 @@ class FolderLoader:
             )
         return D.decode_val(path, self.image_size, full_crop=self.full_crop)
 
+    def _batch_executor(self):
+        """Native batch executor (one C call per batch) for the train path."""
+        if not self.is_train:
+            return None
+        if not hasattr(self, "_exec"):
+            try:
+                from sota_imagenet_tpu.data import native
+
+                self._exec = native.BatchExecutor(workers=self.workers) if native.available() else None
+            except Exception:
+                self._exec = None
+        return self._exec
+
+    def _decode_batch_native(self, idxs, rngs) -> Optional[np.ndarray]:
+        from sota_imagenet_tpu.data import native
+
+        ex = self._batch_executor()
+        if ex is None:
+            return None
+        datas, crops, filts = [], [], []
+        for i, rng in zip(idxs, rngs):
+            with open(self.shard_files[i], "rb") as f:
+                data = f.read()
+            dims = native.jpeg_dims(data)
+            if dims is None:
+                crops.append((0, 0, 1, 1))  # will fail in C -> PIL fallback below
+            else:
+                crops.append(D.sample_random_crop(rng, dims[0], dims[1], min_area=self.min_area))
+            datas.append(data)
+            filts.append(
+                native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
+            )
+        ticket = ex.submit(datas, crops, filts, (self.image_size, self.image_size))
+        imgs, failed = ex.wait(ticket)
+        for fi in failed:  # rare non-JPEGs: PIL fallback
+            imgs[fi] = D.decode_train(
+                self.shard_files[idxs[fi]],
+                np.random.default_rng((self.seed, self.epoch, int(idxs[fi]), 1)),
+                self.image_size,
+                min_area=self.min_area,
+                random_interpolation=self.random_interpolation,
+                use_native=False,
+            )
+        return imgs
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = np.arange(len(self.shard_files))
         if self.is_train:
@@ -136,13 +181,17 @@ class FolderLoader:
             for b in range(n_batches):
                 idxs = order[b * bs : (b + 1) * bs]
                 rngs = [np.random.default_rng((self.seed, self.epoch, int(i))) for i in idxs]
-                imgs = list(pool.map(lambda a: self._decode_one(self.shard_files[a[0]], a[1]), zip(idxs, rngs)))
+                stacked = self._decode_batch_native(idxs, rngs) if self.is_train else None
+                if stacked is None:
+                    imgs = list(pool.map(lambda a: self._decode_one(self.shard_files[a[0]], a[1]), zip(idxs, rngs)))
+                    stacked = np.stack(imgs)
+                if stacked.shape[0] < bs:  # pad tail batch (only when drop_last=False)
+                    pad = np.repeat(stacked[-1:], bs - stacked.shape[0], axis=0)
+                    stacked = np.concatenate([stacked, pad])
                 labels = np.asarray([self.shard_labels[i] for i in idxs], dtype=np.int32)
-                if len(imgs) < bs:  # pad tail batch (only when drop_last=False)
-                    pad = bs - len(imgs)
-                    imgs += [imgs[-1]] * pad
-                    labels = np.concatenate([labels, np.full(pad, -1, np.int32)])
-                yield np.stack(imgs), labels
+                if len(labels) < bs:
+                    labels = np.concatenate([labels, np.full(bs - len(labels), -1, np.int32)])
+                yield stacked, labels
         self.epoch += 1
 
 
