@@ -414,6 +414,38 @@ class TFRecordLoader:
             img = D.decode_val(jpeg, self.image_size, full_crop=self.full_crop)
         return img, label
 
+    def _decode_batch_native(self, payloads, rngs):
+        """One C call per batch via the native executor (train only)."""
+        if not self.is_train:
+            return None
+        from sota_imagenet_tpu.data import decode as D
+        from sota_imagenet_tpu.data import native
+
+        if not hasattr(self, "_exec"):
+            try:
+                self._exec = native.BatchExecutor(workers=self.workers) if native.available() else None
+            except Exception:
+                self._exec = None
+        if self._exec is None:
+            return None
+        jpegs, crops, filts = [], [], []
+        for (jpeg, _), rng in zip(payloads, rngs):
+            dims = native.jpeg_dims(jpeg)
+            crops.append(
+                D.sample_random_crop(rng, dims[0], dims[1], min_area=self.min_area) if dims else (0, 0, 1, 1)
+            )
+            jpegs.append(jpeg)
+            filts.append(
+                native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
+            )
+        ticket = self._exec.submit(jpegs, crops, filts, (self.image_size, self.image_size))
+        imgs, failed = self._exec.wait(ticket)
+        for fi in failed:
+            imgs[fi] = D.decode_train(
+                jpegs[fi], np.random.default_rng(0), self.image_size, min_area=self.min_area, use_native=False
+            )
+        return imgs
+
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
 
@@ -425,8 +457,28 @@ class TFRecordLoader:
             for b in range(len(self)):
                 idxs = order[b * bs : (b + 1) * bs]
                 rngs = [np.random.default_rng((self.seed, self.epoch, int(i))) for i in idxs]
-                results = list(pool.map(lambda a: self._load_one(self.entries[a[0]], a[1]), zip(idxs, rngs)))
-                imgs = np.stack([r[0] for r in results])
-                labels = np.asarray([r[1] for r in results], np.int32)
+                payloads = [
+                    (lambda ex: (ex["image/encoded"], int(ex["image/class/label"])))(
+                        decode_example(read_record_at(*self.entries[i]))
+                    )
+                    for i in idxs
+                ]
+                labels = np.asarray([p[1] for p in payloads], np.int32)
+                imgs = self._decode_batch_native(payloads, rngs)
+                if imgs is None:
+                    results = list(
+                        pool.map(lambda a: self._decode_payload(a[0], a[1]), zip(payloads, rngs))
+                    )
+                    imgs = np.stack(results)
                 yield imgs, labels
         self.epoch += 1
+
+    def _decode_payload(self, payload, rng):
+        from sota_imagenet_tpu.data import decode as D
+
+        jpeg, _ = payload
+        if self.is_train:
+            return D.decode_train(
+                jpeg, rng, self.image_size, min_area=self.min_area, random_interpolation=self.random_interpolation
+            )
+        return D.decode_val(jpeg, self.image_size, full_crop=self.full_crop)

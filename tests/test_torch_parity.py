@@ -109,3 +109,60 @@ def test_resnet50_imagesize_224_parity(synced_models):
     # top-5 predictions identical, logits close
     assert list(np.argsort(t_out[0])[-5:]) == list(np.argsort(f_out[0])[-5:])
     np.testing.assert_allclose(f_out, t_out, rtol=2e-3, atol=5e-3)
+
+
+def test_resnet18_import_parity():
+    """BasicBlock path of the importer (bottleneck=False)."""
+    from sota_imagenet_tpu.models import resnet18
+
+    class TorchBasic(tnn.Module):
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.relu = tnn.ReLU()
+            self.downsample = downsample
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            return self.relu(self.bn2(self.conv2(out)) + idn)
+
+    class TorchResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            for li, (planes, stride) in enumerate(((64, 1), (128, 2), (256, 2), (512, 2)), start=1):
+                down = None
+                if stride != 1 or self.inplanes != planes:
+                    down = tnn.Sequential(
+                        tnn.Conv2d(self.inplanes, planes, 1, stride=stride, bias=False), tnn.BatchNorm2d(planes)
+                    )
+                setattr(self, f"layer{li}", tnn.Sequential(
+                    TorchBasic(self.inplanes, planes, stride, down), TorchBasic(planes, planes)
+                ))
+                self.inplanes = planes
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc = tnn.Linear(512, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(self.avgpool(x).flatten(1))
+
+    torch.manual_seed(1)
+    tm = TorchResNet18().eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items() if "num_batches" not in k}
+    params, stats = convert_resnet_state_dict(sd, layers=(2, 2, 2, 2), bottleneck=False)
+    fm = resnet18()
+    x = np.random.default_rng(2).normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    f_out = np.asarray(fm.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(f_out, t_out, rtol=1e-3, atol=2e-3)
