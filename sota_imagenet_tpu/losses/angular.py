@@ -16,7 +16,7 @@ All math in float32; clamps mirror the reference's numeric guards
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ The reference's auxiliary-loss callbacks rebuild the criterion as
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 
 

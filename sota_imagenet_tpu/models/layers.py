@@ -13,7 +13,7 @@ statistics (weight standardization, norms) are always computed in float32.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp

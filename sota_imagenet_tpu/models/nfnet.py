@@ -14,9 +14,8 @@ and grows by sqrt(1 + alpha^2) per block.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

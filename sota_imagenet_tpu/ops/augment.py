@@ -12,8 +12,7 @@ reproducible across restarts (the DALI pipeline's RNG was stateful).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,12 +155,10 @@ def build_train_augment(
     """Returns jitted fn(rng, images_u8, labels) -> {'image', 'label'}.
 
     On TPU the color/erase/normalize chain runs as ONE fused Pallas kernel
-    with on-core PRNG (ops/pallas_aug.py); mirror (a layout op) and blur
-    (a conv) stay in XLA. The pure-XLA path below is the reference
-    implementation and the CPU/test path.
+    (ops/pallas_aug.py) with per-image random scalars prefetched into SMEM;
+    mirror (a layout op) and blur (a conv) stay in XLA. The pure-XLA path
+    below is the reference implementation and the CPU/test path.
     """
-    import jax.extend.backend
-
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

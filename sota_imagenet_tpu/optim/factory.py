@@ -21,7 +21,7 @@ momenta.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Any, Callable, Dict, Union
 
 import jax
 import jax.numpy as jnp

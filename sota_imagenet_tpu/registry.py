@@ -15,7 +15,7 @@ reference keep working (e.g. ``pytorch_tools.models.resnet50`` →
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 _REGISTRY: Dict[str, Callable] = {}
 _ALIASES: Dict[str, str] = {}

@@ -16,10 +16,9 @@ Rank-zero gating (reference ``rank_zero_only``) is `jax.process_index() == 0`.
 
 from __future__ import annotations
 
-import math
 import os
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ never blocks on IO.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

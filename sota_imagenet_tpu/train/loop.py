@@ -13,19 +13,14 @@ Differences from the reference runner, by TPU design:
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from sota_imagenet_tpu.config import ConfigNode
 from sota_imagenet_tpu.train import steps as steps_lib
 from sota_imagenet_tpu.train.callbacks import Callback
-from sota_imagenet_tpu.train.metrics import MeterDict
 from sota_imagenet_tpu.train.schedule import make_lr_schedule
 from sota_imagenet_tpu.train.state import TrainState
-from sota_imagenet_tpu.utils.logging import get_logger
 
 
 class Runner:

@@ -18,7 +18,6 @@ Features folded into the step (they were callbacks in the reference):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
