@@ -139,7 +139,8 @@ class FolderLoader:
                 self._exec = None
         return self._exec
 
-    def _decode_batch_native(self, idxs, rngs) -> Optional[np.ndarray]:
+    def _submit_batch_native(self, idxs, rngs) -> Optional[int]:
+        """Read bytes + sample crops + submit to the C executor; non-blocking."""
         from sota_imagenet_tpu.data import native
 
         ex = self._batch_executor()
@@ -158,8 +159,10 @@ class FolderLoader:
             filts.append(
                 native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
             )
-        ticket = ex.submit(datas, crops, filts, (self.image_size, self.image_size))
-        imgs, failed = ex.wait(ticket)
+        return ex.submit(datas, crops, filts, (self.image_size, self.image_size))
+
+    def _wait_batch_native(self, ticket, idxs) -> np.ndarray:
+        imgs, failed = self._exec.wait(ticket)
         for fi in failed:  # rare non-JPEGs: PIL fallback
             imgs[fi] = D.decode_train(
                 self.shard_files[idxs[fi]],
@@ -177,12 +180,28 @@ class FolderLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         bs = self.batch_size
         n_batches = len(self)
+
+        def batch_idxs(b):
+            idxs = order[b * bs : (b + 1) * bs]
+            return idxs, [np.random.default_rng((self.seed, self.epoch, int(i))) for i in idxs]
+
+        use_native = self.is_train and self._batch_executor() is not None
         with ThreadPoolExecutor(self.workers) as pool:
+            # double-buffered native path: batch b+1 decodes in C while batch b
+            # is post-processed/consumed (DALI-style pipelining)
+            pending = None  # (ticket, idxs)
+            if use_native and n_batches:
+                idxs0, rngs0 = batch_idxs(0)
+                pending = (self._submit_batch_native(idxs0, rngs0), idxs0)
             for b in range(n_batches):
-                idxs = order[b * bs : (b + 1) * bs]
-                rngs = [np.random.default_rng((self.seed, self.epoch, int(i))) for i in idxs]
-                stacked = self._decode_batch_native(idxs, rngs) if self.is_train else None
-                if stacked is None:
+                if use_native:
+                    ticket, idxs = pending
+                    if b + 1 < n_batches:
+                        idxs1, rngs1 = batch_idxs(b + 1)
+                        pending = (self._submit_batch_native(idxs1, rngs1), idxs1)
+                    stacked = self._wait_batch_native(ticket, idxs)
+                else:
+                    idxs, rngs = batch_idxs(b)
                     imgs = list(pool.map(lambda a: self._decode_one(self.shard_files[a[0]], a[1]), zip(idxs, rngs)))
                     stacked = np.stack(imgs)
                 if stacked.shape[0] < bs:  # pad tail batch (only when drop_last=False)
