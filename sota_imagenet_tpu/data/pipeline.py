@@ -400,6 +400,12 @@ class DataManager:
         if stage.extra_args is not None:
             for k, v in dict(stage.extra_args).items():
                 train_cfg[k] = v
+        # reference semantics: accumulate_steps MULTIPLIES the effective batch
+        # (the torch runner accumulated across loader batches); here the step
+        # scans microbatches of the configured size within one larger batch
+        accum = int(self.cfg.run.get("accumulate_steps", 1) or 1)
+        if accum > 1:
+            train_cfg["batch_size"] = int(train_cfg["batch_size"]) * accum
         val_cfg["image_size"] = train_cfg["image_size"]  # val follows train (dali_dataloader.py:228)
         get_logger().info(f"Loader changed. New data config: image_size={train_cfg['image_size']} batch_size={train_cfg['batch_size']}")
         self.loader = build_loader(train_cfg, self.mesh, is_train=True, rng=self.rng, out_dtype=self.out_dtype)

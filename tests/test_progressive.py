@@ -76,3 +76,26 @@ def test_lr_only_stage_keeps_loader(mesh8):
     loader0 = dm.loader
     dm.set_stage(1)
     assert dm.loader is loader0  # no extra_args -> reuse (dali_dataloader.py:217-218)
+
+
+def test_accumulate_steps_scales_effective_batch(mesh8):
+    """reference semantics: accumulate_steps multiplies the effective batch
+    (runner accumulated across loader batches, arg_parser.py:86)."""
+    import jax.numpy as jnp
+
+    from sota_imagenet_tpu.config import load
+    from sota_imagenet_tpu.data.pipeline import DataManager
+
+    cfg = load(strict_env=False)
+    cfg.loader.backend = "synthetic"
+    cfg.val_loader.backend = "synthetic"
+    cfg.loader.batch_size = 8
+    cfg.val_loader.batch_size = 8
+    cfg.run.accumulate_steps = 2
+    cfg.run.stages = [dict(start=0, end=1, lr=[0.1, 0.1])]
+    dm = DataManager(cfg, mesh8, out_dtype=jnp.float32)
+    dm.set_stage(0)
+    batch = next(iter(dm.loader))
+    assert batch["image"].shape[0] == 16  # 8 * accumulate_steps
+    vbatch = next(iter(dm.val_loader))
+    assert vbatch["image"].shape[0] == 8  # val unaffected
