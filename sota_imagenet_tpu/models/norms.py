@@ -24,27 +24,78 @@ from sota_imagenet_tpu.models.layers import activation_from_name
 Dtype = Any
 
 
+class _BNCore(nn.Module):
+    """BatchNorm2d core with flax-compatible param/stat names ('scale','bias',
+    'mean','var') and optional spatial SUBSAMPLING of the statistics.
+
+    Why: profiling shows BN statistics reductions are ~47% of the ResNet-50
+    step on TPU (HBM-bound; see ROADMAP.md). ``subsample=s`` computes batch
+    stats over x[:, ::s, ::s, :] — 1/s² the reduction traffic with negligible
+    estimator noise at ImageNet batch sizes (bs128 @ 56² still >100k samples
+    per channel). subsample=1 reproduces flax nn.BatchNorm exactly.
+    """
+
+    momentum_flax: float = 0.9  # flax convention: new = m*old + (1-m)*batch
+    eps: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    subsample: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32) if self.use_scale else None
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32) if self.use_bias else None
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            s = max(int(self.subsample), 1)
+            xs = x if s == 1 else x[:, ::s, ::s, :]
+            xf = xs.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))  # one pass: var = E[x²]-E[x]²
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum_flax
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        dtype = self.dtype or x.dtype
+        y = (x.astype(dtype) - mean.astype(dtype)) * jax.lax.rsqrt(var + self.eps).astype(dtype)
+        if scale is not None:
+            y = y * scale.astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch-style momentum (reference patches momentum to
-    cfg.bn_momentum=0.1, train.py:76): new = (1-m)*old + m*batch."""
+    cfg.bn_momentum=0.1, train.py:76): new = (1-m)*old + m*batch.
+
+    ``subsample`` (default off) subsamples the statistics spatially — the
+    profile-driven TPU optimization described in _BNCore/ROADMAP.md."""
 
     momentum: float = 0.1  # torch convention
     eps: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
+    subsample: int = 1
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, **_):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - self.momentum,  # flax convention
-            epsilon=self.eps,
+        return _BNCore(
+            momentum_flax=1.0 - self.momentum,
+            eps=self.eps,
             use_scale=self.use_scale,
             use_bias=self.use_bias,
+            subsample=self.subsample,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+            name="BatchNorm_0",  # keep the flax-nn.BatchNorm tree layout
+        )(x, use_running_average=not train)
 
 
 class ABN(nn.Module):

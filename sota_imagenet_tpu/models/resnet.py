@@ -39,17 +39,19 @@ class _NormAct(nn.Module):
 
     activation: str = "relu"
     momentum: float = 0.1  # torch convention (cfg.bn_momentum; reference train.py:76)
+    subsample: int = 1  # spatial subsampling of BN stats (profile-driven, ROADMAP.md)
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BatchNorm(momentum=self.momentum, dtype=self.dtype)(x, train=train)
+        x = BatchNorm(momentum=self.momentum, subsample=self.subsample, dtype=self.dtype)(x, train=train)
         return activation_from_name(self.activation)(x)
 
 
 class BasicBlock(nn.Module):
     planes: int = 64
     bn_momentum: float = 0.1
+    bn_subsample: int = 1
     stride: int = 1
     downsample: bool = False
     norm_act: str = "relu"
@@ -67,9 +69,9 @@ class BasicBlock(nn.Module):
         out = Conv(out_chs=p, kernel_size=3, stride=conv_stride, padding=1, use_bias=False, dtype=dt)(x)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
-        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         out = Conv(out_chs=p, kernel_size=3, padding=1, use_bias=False, dtype=dt)(out)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=dt)(out, train=train)
+        out = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(p)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -80,13 +82,14 @@ class BasicBlock(nn.Module):
                 res = Conv(out_chs=p, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
             else:
                 res = Conv(out_chs=p, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-            res = BatchNorm(momentum=self.bn_momentum, dtype=dt, name="down_bn")(res, train=train)
+            res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
 class Bottleneck(nn.Module):
     planes: int = 64
     bn_momentum: float = 0.1
+    bn_subsample: int = 1
     stride: int = 1
     downsample: bool = False
     groups: int = 1
@@ -105,14 +108,14 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_chs = self.planes * self.expansion
         out = Conv(out_chs=width, kernel_size=1, padding=0, use_bias=False, dtype=dt)(x)
-        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         conv_stride = 1 if self.antialias else self.stride
         out = Conv(out_chs=width, kernel_size=3, stride=conv_stride, padding=1, groups=self.groups, use_bias=False, dtype=dt)(out)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
-        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         out = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt)(out)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=dt)(out, train=train)
+        out = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(out_chs)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -123,7 +126,7 @@ class Bottleneck(nn.Module):
                 res = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
             else:
                 res = Conv(out_chs=out_chs, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-            res = BatchNorm(momentum=self.bn_momentum, dtype=dt, name="down_bn")(res, train=train)
+            res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
@@ -137,6 +140,7 @@ class ResNet(nn.Module):
     base_width: int = 64
     stem_type: str = ""  # "" | "deep" | "space2depth"
     bn_momentum: float = 0.1  # reference patch_bn_mom (train.py:76)
+    bn_subsample: int = 1  # >1: subsample BN stats spatially (TPU perf, ROADMAP.md)
     norm_act: str = "relu"
     antialias: bool = False
     attn_type: Optional[str] = None
@@ -153,15 +157,15 @@ class ResNet(nn.Module):
         if self.stem_type == "space2depth":
             x = SpaceToDepth(block_size=4)(x)  # 3 -> 48 chs, /4 spatial
             x = Conv(out_chs=64, kernel_size=3, padding=1, use_bias=False, dtype=dt, name="stem_conv")(x)
-            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt, name="stem_bn")(x, train=train)
+            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="stem_bn")(x, train=train)
         elif self.stem_type == "deep":
             for i, chs in enumerate((32, 32, 64)):
                 x = Conv(out_chs=chs, kernel_size=3, stride=2 if i == 0 else 1, padding=1, use_bias=False, dtype=dt, name=f"stem_conv{i}")(x)
-                x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt, name=f"stem_bn{i}")(x, train=train)
+                x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name=f"stem_bn{i}")(x, train=train)
             x = max_pool(x, 3, 2, 1)
         else:
             x = Conv(out_chs=64, kernel_size=7, stride=2, padding=3, use_bias=False, dtype=dt, name="stem_conv")(x)
-            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, dtype=dt, name="stem_bn")(x, train=train)
+            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="stem_bn")(x, train=train)
             x = max_pool(x, 3, 2, 1)
 
         # --- stages ---
@@ -178,6 +182,7 @@ class ResNet(nn.Module):
                 x = self.block(
                     planes=planes,
                     bn_momentum=self.bn_momentum,
+                    bn_subsample=self.bn_subsample,
                     stride=stride,
                     downsample=downsample,
                     norm_act=self.norm_act,
