@@ -106,3 +106,20 @@ def test_loop_learns_separable_task(mesh8):
     feed = DeviceFeed(ColorLoader(), mesh8, build_val_augment(num_classes=2, out_dtype=jnp.float32), prefetch=1)
     train_m, _ = runner.fit(feed, None, epochs=6, start_epoch=0)
     assert train_m["Acc@1"] > 95.0, train_m
+
+
+def test_train_cli_with_ema(tmp_path):
+    """Regression: probe state must carry EMA fields (found by TPU soak —
+    missing ema in the wd-mask probe state crashed the train step)."""
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [
+            sys.executable, "train.py", "-c", "configs/tiny_synthetic.yaml",
+            "run.ema_decay=0.9", f"log.dir={tmp_path}/logs",
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "Acc@1" in out.stdout

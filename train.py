@@ -136,10 +136,12 @@ def main(argv=None):
     for clb_cfg in cfg.run.extra_callbacks or []:
         callbacks.append(instantiate(clb_cfg))
 
-    # build a throwaway state to derive the wd mask (params structure)
+    # build a throwaway state to derive the wd mask (params structure).
+    # MUST mirror the real runner's ema_decay/criterion so the state tree has
+    # the ema/loss_state fields the train step expects
     probe = Runner(
         model, criterion, lambda sched: build_optimizer(dict(cfg.optim), sched), lr_phases=lr_phases,
-        input_dtype=input_dtype, rng=rng,
+        ema_decay=cfg.run.ema_decay, input_dtype=input_dtype, rng=rng,
     )
     init_shape = (2, cfg.loader.image_size, cfg.loader.image_size, 3)
     probe_state = probe.init_state(init_shape, rng)
