@@ -286,7 +286,9 @@ class NonDeepBlock(nn.Module):
         if self.xca_kwargs is not None:
             if self.in_chs != self.out_chs:
                 raise ValueError("XCA requires in_chs == out_chs")
-            out = out + XCA(dim=self.out_chs, residual=False, **self.xca_kwargs)(x_norm)
+            xk = dict(self.xca_kwargs)
+            xk.setdefault("residual", False)  # summed into the block output anyway
+            out = out + XCA(dim=self.out_chs, **xk)(x_norm)
         elif self.ufo_kwargs is not None:
             uk = dict(self.ufo_kwargs)
             if self.in_chs != self.out_chs:
@@ -355,6 +357,31 @@ class PreInvertedResidual(nn.Module):
         out = Conv(out_chs=mid, kernel_size=3, padding=1, groups=mid, use_bias=False)(out)
         out = norm(activation=self.norm_act)(out, train=train)
         out = Conv(out_chs=self.out_chs, kernel_size=1, padding=0, use_bias=False)(out)
+        out = DropPath(keep_prob=self.keep_prob)(out, train=train)
+        return partial_residual(out, x)
+
+
+class PreBasicBlock(nn.Module):
+    """Pre-activation basic block with activated norms and partial residual
+    (pytorch_tools PreBasicBlock, used by the reference BNet configs,
+    e.g. 6.bnet_no_dim_red.yaml): norm-act, 3x3, norm-act, 3x3, drop-path,
+    += x."""
+
+    in_chs: int = 0
+    out_chs: int = 0
+    mid_chs: Optional[int] = None
+    keep_prob: float = 1.0
+    norm_layer: str = "abn"
+    norm_act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        mid = self.mid_chs or self.out_chs
+        norm = norm_from_name(self.norm_layer)
+        out = norm(activation=self.norm_act)(x, train=train)
+        out = Conv(out_chs=mid, kernel_size=3, padding=1, use_bias=False)(out)
+        out = norm(activation=self.norm_act)(out, train=train)
+        out = Conv(out_chs=self.out_chs, kernel_size=3, padding=1, use_bias=False)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
         return partial_residual(out, x)
 

@@ -92,6 +92,7 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "NonDeepBlock": lambda i, o, **kw: B.NonDeepBlock(in_chs=i, out_chs=o, **kw),
     "EMABlock": lambda i, o, **kw: B.EMABlock(in_chs=i, out_chs=o, **kw),
     "PreInvertedResidual": lambda i, o, m=None, **kw: B.PreInvertedResidual(in_chs=i, out_chs=o, mid_chs=m, **kw),
+    "PreBasicBlock": lambda i, o, m=None, **kw: B.PreBasicBlock(in_chs=i, out_chs=o, mid_chs=m, **kw),
     "Yolo5_C3": lambda i, **kw: B.Yolo5_C3(in_chs=i, **kw),
     "ConvMixerBlock": lambda dim, k=9, **kw: B.ConvMixerBlock(dim=dim, kernel_size=k, **kw),
     "ConvBnAct": lambda i, o, **kw: B.ConvBnAct(in_chs=i, out_chs=o, **kw),
