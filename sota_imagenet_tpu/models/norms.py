@@ -87,15 +87,27 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, **_):
-        return _BNCore(
-            momentum_flax=1.0 - self.momentum,
-            eps=self.eps,
+        if self.subsample > 1:
+            return _BNCore(
+                momentum_flax=1.0 - self.momentum,
+                eps=self.eps,
+                use_scale=self.use_scale,
+                use_bias=self.use_bias,
+                subsample=self.subsample,
+                dtype=self.dtype,
+                name="BatchNorm_0",  # keep the flax-nn.BatchNorm tree layout
+            )(x, use_running_average=not train)
+        # default: flax's BatchNorm (benched marginally faster than _BNCore
+        # on TPU — 2632-2656 vs 2595 img/s r50 steps; same tree layout)
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
             use_scale=self.use_scale,
             use_bias=self.use_bias,
-            subsample=self.subsample,
             dtype=self.dtype,
-            name="BatchNorm_0",  # keep the flax-nn.BatchNorm tree layout
-        )(x, use_running_average=not train)
+            param_dtype=jnp.float32,
+        )(x)
 
 
 class ABN(nn.Module):
