@@ -465,3 +465,10 @@ def _maybe_instantiate(v: Any) -> Any:
     if isinstance(v, list):
         return [_maybe_instantiate(x) for x in v]
     return v
+
+
+if __name__ == "__main__":  # config round-trip check (reference arg_parser.py test_app)
+    import sys
+
+    _path = sys.argv[1] if len(sys.argv) > 1 else None
+    print(to_yaml(load(_path, overrides=sys.argv[2:], strict_env=False)))
