@@ -255,7 +255,11 @@ def build_train_step(
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay), state.ema_params, new_params
             )
-            new_ema_bs = new_bs  # BN stats tracked alongside (reference ModelEma copies buffers)
+            # BN buffers are EMA'd with the same decay (reference ModelEma
+            # averages the full state_dict incl. buffers, train.py:111-114)
+            new_ema_bs = jax.tree_util.tree_map(
+                lambda e, b: e * ema_decay + b * (1.0 - ema_decay), state.ema_batch_stats, new_bs
+            )
 
         metrics = classification_metrics(logits, labels_for_metrics, loss)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -109,6 +109,33 @@ def test_ema_moves_toward_params(mesh8):
     assert not np.allclose(np.asarray(p), np.asarray(e))
 
 
+def test_ema_batch_stats_are_averaged(mesh8):
+    """EMA buffers follow the same decay as EMA params (reference ModelEma
+    averages the full state_dict incl. BN buffers, train.py:111-114) — the EMA
+    copy must NOT just mirror the instantaneous batch_stats."""
+    decay = 0.5
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd"}, sched)
+    model = tiny_model()
+    crit = CrossEntropyLoss()
+    step = steps_lib.build_train_step(model, crit, tx, sched, ema_decay=decay, input_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.normal(rng, (8, 16, 16, 3)) * 3.0 + 1.0,
+        "label": jax.nn.one_hot(jax.random.randint(rng, (8,), 0, 10), 10),
+    }
+    s0 = steps_lib.init_state(model, tx, (2, 16, 16, 3), rng, ema_decay=decay, input_dtype=jnp.float32)
+    s1, _ = step(s0, batch, rng)
+    want = jax.tree_util.tree_map(lambda e, b: e * decay + b * (1 - decay), s0.ema_batch_stats, s1.batch_stats)
+    for w, got, inst in zip(
+        jax.tree_util.tree_leaves(want),
+        jax.tree_util.tree_leaves(s1.ema_batch_stats),
+        jax.tree_util.tree_leaves(s1.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w), rtol=1e-6)
+        assert not np.allclose(np.asarray(got), np.asarray(inst))
+
+
 def test_cutmix_mixup_step_option(mesh8):
     runner = make_runner(mesh8, callbacks=[CutmixMixup(1.0, 0.2, prob=1.0)])
     runner.init_state((2, 16, 16, 3))
