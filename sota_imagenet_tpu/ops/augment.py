@@ -20,57 +20,81 @@ import jax.numpy as jnp
 from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
 
 
-def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    maxc = jnp.maximum(jnp.maximum(r, g), b)
-    minc = jnp.minimum(jnp.minimum(r, g), b)
-    v = maxc
-    delta = maxc - minc
-    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
-    rc = (maxc - r) / jnp.maximum(delta, 1e-8)
-    gc = (maxc - g) / jnp.maximum(delta, 1e-8)
-    bc = (maxc - b) / jnp.maximum(delta, 1e-8)
-    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
-    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
-    return jnp.stack([h, s, v], axis=-1)
+# --------------------------------------------------------------------------- #
+# DALI color math — linearized YIQ (NOT true HSV)
+#
+# DALI's ``fn.hsv`` and ``fn.color_twist`` (used by the reference at
+# dali_dataloader.py:85-98) do not convert to real HSV: per the DALI docs the
+# operation "is approximated by a linear transformation within the YIQ color
+# space" — project onto the neutral (gray) axis, rotate chroma by the hue
+# angle, scale chroma by the saturation factor, convert back. Brightness and
+# contrast compose into the same single linear transform (contrast centered at
+# half-range 128), with ONE saturating round-to-uint8 at the end of each DALI
+# op (no intermediate clipping). Consequences we reproduce exactly:
+#   * grayscale (fn.hsv(saturation=0)) is the Rec.601/YIQ luma broadcast,
+#     because YIQ2RGB @ diag(1,0,0) @ RGB2YIQ == outer((1,1,1), (.299,.587,.114))
+#     — NOT the max-channel V of true HSV;
+#   * hue rotation can leave the RGB cube; values only saturate at the final
+#     uint8 cast;
+#   * each DALI op materializes uint8 between stages (round half-to-even).
+# --------------------------------------------------------------------------- #
+
+RGB2YIQ = ((0.299, 0.587, 0.114), (0.596, -0.274, -0.321), (0.211, -0.523, 0.311))
+YIQ2RGB = ((1.0, 0.956, 0.621), (1.0, -0.272, -0.647), (1.0, -1.107, 1.705))
 
 
-def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+def dali_color_matrix(hue_deg, saturation, contrast, brightness):
+    """Per-image 3x3 matrix + offset reproducing DALI fn.color_twist.
+
+    out = A @ rgb + off  with  A = brightness*contrast * YIQ2RGB @ R(h)·S(s) @ RGB2YIQ
+    and off = brightness*128*(1-contrast). Accepts scalars or batched (B,)
+    arrays; returns (..., 3, 3) and (...,). The hue rotation and saturation
+    scaling act on the (I, Q) chroma plane and commute; the color matrix fixes
+    the gray axis (A·(128,128,128) pre-scale = same), so the brightness/
+    contrast composition order matches DALI's fused transform exactly.
+    """
+    h = hue_deg * (jnp.pi / 180.0)
+    c, s = jnp.cos(h), jnp.sin(h)
+    one, zero = jnp.ones_like(h), jnp.zeros_like(h)
+    sat = saturation
+    chroma = jnp.stack(
+        [
+            jnp.stack([one, zero, zero], -1),
+            jnp.stack([zero, sat * c, sat * s], -1),
+            jnp.stack([zero, -sat * s, sat * c], -1),
+        ],
+        -2,
+    )
+    m = jnp.asarray(YIQ2RGB) @ chroma @ jnp.asarray(RGB2YIQ)
+    a = (brightness * contrast)[..., None, None] * m if m.ndim == 3 else brightness * contrast * m
+    off = brightness * 128.0 * (1.0 - contrast)
+    return a, off
+
+
+def _u8_round(x):
+    """DALI materializes uint8 between pipeline ops: saturating cast with
+    round-half-to-even (matches CUDA __float2int_rn). We keep float carrying
+    exact integer values."""
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
 
 
 def _color_twist(key, img, contrast_range, brightness_range):
-    """DALI color_twist (dali_dataloader.py:85-94): brightness/contrast
-    multiplicative, hue in degrees, saturation multiplicative."""
+    """DALI color_twist (dali_dataloader.py:85-94): one linear YIQ transform,
+    single saturating uint8 cast at the end."""
     kb, kc, kh, ks = jax.random.split(key, 4)
     brightness = jax.random.uniform(kb, (), minval=brightness_range[0], maxval=brightness_range[1])
     contrast = jax.random.uniform(kc, (), minval=contrast_range[0], maxval=contrast_range[1])
     hue_deg = jax.random.uniform(kh, (), minval=-20.0, maxval=20.0)
     saturation = jax.random.uniform(ks, (), minval=0.7, maxval=1.3)
-    # brightness & contrast (DALI: out = brightness*(contrast*(in - gray) + gray), gray=128)
-    img = brightness * (contrast * (img - 128.0) + 128.0)
-    img = jnp.clip(img, 0.0, 255.0)
-    # hue + saturation in HSV
-    hsv = _rgb_to_hsv(img / 255.0)
-    h = (hsv[..., 0] + hue_deg / 360.0) % 1.0
-    s = jnp.clip(hsv[..., 1] * saturation, 0.0, 1.0)
-    img = _hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1)) * 255.0
-    return img
+    a, off = dali_color_matrix(hue_deg, saturation, contrast, brightness)
+    return _u8_round(jnp.einsum("hwc,dc->hwd", img, a) + off)
 
 
 def _grayscale(img):
+    """DALI fn.hsv(saturation=0) == YIQ luma broadcast (see module comment);
+    rounded to uint8 like the DALI op's output."""
     luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-    return jnp.stack([luma, luma, luma], axis=-1)
+    return _u8_round(jnp.stack([luma, luma, luma], axis=-1))
 
 
 def _gaussian_blur(img, sigma, window: int = 11):
@@ -173,9 +197,7 @@ def build_train_augment(
                 sigmas = jax.random.uniform(k_sig, (bsz,), minval=0.5, maxval=1.1)
                 blurred = _batch_gaussian_blur(imgf, sigmas)
                 pick = jax.random.bernoulli(k_blur, blur_prob, (bsz, 1, 1, 1))
-                images_u8 = jnp.clip(jnp.where(pick, blurred, imgf), 0, 255).astype(jnp.uint8)
-            mir = jax.random.bernoulli(k_mir, 0.5, (bsz, 1, 1, 1))
-            images_u8 = jnp.where(mir, images_u8[:, :, ::-1, :], images_u8)
+                images_u8 = _u8_round(jnp.where(pick, blurred, imgf)).astype(jnp.uint8)
             scalars = draw_augment_scalars(
                 k_sc,
                 images_u8.shape[0],
@@ -195,6 +217,13 @@ def build_train_augment(
                 re_count=re_count,
                 out_dtype=out_dtype,
             )
+            # mirror LAST, like the reference (crop_mirror_normalize comes after
+            # erase, dali_dataloader.py:113-122) — the order matters for erase:
+            # its boxes only clip at the right/bottom edge pre-mirror, so
+            # mirroring after erase symmetrizes the box distribution. Mirror
+            # commutes with the (pointwise) normalize inside the kernel.
+            mir = jax.random.bernoulli(k_mir, 0.5, (bsz, 1, 1, 1))
+            images = jnp.where(mir, images[:, :, ::-1, :], images)
             onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
             return {"image": images, "label": onehot}
 
@@ -209,7 +238,9 @@ def build_train_augment(
         if gray_prob > 0:
             img = jnp.where(jax.random.bernoulli(keys[3], gray_prob), _grayscale(img), img)
         if re_prob > 0:
-            erased = _random_erase(keys[4], img, re_count, DATA_MEAN)
+            # DALI fn.erase writes fill_value=127.5 into a uint8 buffer, which
+            # rounds to 128 (dali_dataloader.py:100-110)
+            erased = _random_erase(keys[4], img, re_count, 128.0)
             img = jnp.where(jax.random.bernoulli(jax.random.fold_in(keys[4], 1), re_prob), erased, img)
         # mirror (crop_mirror_normalize, dali_dataloader.py:113-122)
         mirrored = img[:, ::-1, :]
@@ -227,7 +258,7 @@ def build_train_augment(
             sigmas = jax.random.uniform(k_sig, (bsz,), minval=0.5, maxval=1.1)
             blurred = _batch_gaussian_blur(imgf, sigmas)
             pick = jax.random.bernoulli(k_blur, blur_prob, (bsz, 1, 1, 1))
-            images_u8 = jnp.clip(jnp.where(pick, blurred, imgf), 0, 255).astype(jnp.uint8)
+            images_u8 = _u8_round(jnp.where(pick, blurred, imgf)).astype(jnp.uint8)
         keys = jax.random.split(k_rest, bsz)
         images = jax.vmap(per_sample)(keys, images_u8).astype(out_dtype)
         onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)

@@ -1,29 +1,35 @@
 """Fused Pallas augmentation kernel (TPU).
 
-One VMEM pass per image applying color-twist (brightness/contrast/hue/
-saturation, exact HSV math), grayscale, random erase and normalization —
-the reference's DALI GPU augment ops (dali_dataloader.py:81-122).
+One VMEM pass per image applying color-twist, grayscale, random erase and
+normalization — the reference's DALI GPU augment ops (dali_dataloader.py:
+81-122). Color math is DALI-exact: DALI's fn.color_twist / fn.hsv are a
+*linear transform in YIQ space* (see ops/augment.py module comment), so the
+whole color stage is a per-image 3x3 matrix + offset, precomputed outside and
+prefetched into SMEM — far cheaper on the VPU than true-HSV branch chains,
+and bit-matching the reference. Each DALI op boundary materializes uint8;
+we reproduce that with round-half-to-even + clip between stages.
 
 Why a kernel: the XLA path materializes several HBM-sized intermediates
 (twisted/gray/erased variants + masks selected per-sample); here the whole
 chain runs once through VMEM. Per-image randomness is just *scalars* (flags,
-color params, erase boxes), so they are drawn outside with ``jax.random``
-(keeping determinism uniform with the rest of the framework) and handed to
-the kernel via scalar prefetch into SMEM — SMEM scalar reads broadcast into
-vector ops for free (vector-lane scalar extraction and two-axis broadcasts
-are unsupported in Mosaic).
+matrix coefficients, erase boxes), drawn outside with ``jax.random`` (keeping
+determinism uniform with the rest of the framework) and handed to the kernel
+via scalar prefetch into SMEM — SMEM scalar reads broadcast into vector ops
+for free (vector-lane scalar extraction and two-axis broadcasts are
+unsupported in Mosaic).
 
 Layout: the (H, W, 3) image is processed planar as (3*ROWS, 128) where
 ROWS = ceil(H*W/128): rows [0,R) are the R plane, [R,2R) G, [2R,3R) B. The
-caller transposes NHWC→planar (a fused XLA copy) and flips/blurs in XLA
-beforehand (flip is a layout op; blur is a conv XLA schedules well). Images
-feed as bfloat16 (exact for 0..255 — Mosaic has no uint8→f32 cast).
+caller transposes NHWC→planar (a fused XLA copy) and blurs in XLA beforehand
+(a conv XLA schedules well); the caller mirrors AFTER the kernel (reference
+order: erase precedes mirror, dali_dataloader.py:113-122). Images feed as
+bfloat16 (exact for 0..255 — Mosaic has no uint8→f32 cast).
 
 All distributions match the reference exactly:
-  contrast/brightness ~ U[0.7,1.3] around gray 128, hue ~ U[-20°,20°],
+  contrast/brightness ~ U[0.7,1.3] around half-range 128, hue ~ U[-20°,20°],
   saturation ~ U[0.7,1.3], erase: re_count boxes, anchor~U[0,1],
-  shape~U[0.05,0.25], fill = DATA_MEAN; normalize mean .5*255 / std .2*255
-  (dali_dataloader.py:27-29,85-122).
+  shape~U[0.05,0.25], fill = round(127.5) = 128; normalize mean .5*255 /
+  std .2*255 (dali_dataloader.py:27-29,85-122).
 """
 
 from __future__ import annotations
@@ -37,46 +43,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
+from sota_imagenet_tpu.ops.augment import dali_color_matrix
 
 LANES = 128
-N_BASE_SCALARS = 7  # apply_ct, brightness, contrast, hue, saturation, apply_gray, apply_re
+# m00..m22 (row-major), offset, apply_gray, apply_re
+N_BASE_SCALARS = 12
 
 
-def _rgb_to_hsv(r, g, b):
-    maxc = jnp.maximum(jnp.maximum(r, g), b)
-    minc = jnp.minimum(jnp.minimum(r, g), b)
-    v = maxc
-    delta = maxc - minc
-    safe = jnp.maximum(delta, 1e-8)
-    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
-    rc = (maxc - r) / safe
-    gc = (maxc - g) / safe
-    bc = (maxc - b) / safe
-    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
-    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
-    return h, s, v
-
-
-def _hsv_to_rgb(h, s, v):
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    im = i.astype(jnp.int32) % 6
-
-    def pick(c0, c1, c2, c3, c4, c5):
-        # nested where instead of jnp.select (which lowers via argmax —
-        # unsupported for non-f32 in Mosaic)
-        out = c5
-        for idx, c in ((4, c4), (3, c3), (2, c2), (1, c1), (0, c0)):
-            out = jnp.where(im == idx, c, out)
-        return out
-
-    r = pick(v, q, p, p, t, v)
-    g = pick(t, v, v, q, p, p)
-    b = pick(p, p, t, v, v, q)
-    return r, g, b
+def _u8_round(x):
+    """DALI materializes uint8 between ops: saturate + round half-to-even."""
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
 
 
 def _make_kernel(h, w, rows, color_twist_prob, gray_prob, re_prob, re_count, out_dtype):
@@ -87,36 +63,28 @@ def _make_kernel(h, w, rows, color_twist_prob, gray_prob, re_prob, re_count, out
         g = x[rows : 2 * rows, :]
         b = x[2 * rows : 3 * rows, :]
 
-        # per-image scalars from SMEM (broadcast into vectors for free)
-        apply_ct = scalars_ref[i, 0] != 0.0
-        brightness = scalars_ref[i, 1]
-        contrast = scalars_ref[i, 2]
-        hue = scalars_ref[i, 3]
-        saturation = scalars_ref[i, 4]
-        apply_gray = scalars_ref[i, 5] != 0.0
-        apply_re = scalars_ref[i, 6] != 0.0
-
-        # ---- color twist (reference dali_dataloader.py:85-94) ----
+        # ---- color twist: one linear YIQ transform (dali_dataloader.py:85-94).
+        # The per-image matrix is identity/offset-0 when the coin said no, so
+        # there is no branch here.
         if color_twist_prob > 0:
-            rc = jnp.clip(brightness * (contrast * (r - 128.0) + 128.0), 0.0, 255.0)
-            gc = jnp.clip(brightness * (contrast * (g - 128.0) + 128.0), 0.0, 255.0)
-            bc = jnp.clip(brightness * (contrast * (b - 128.0) + 128.0), 0.0, 255.0)
-            hh, ss, vv = _rgb_to_hsv(rc / 255.0, gc / 255.0, bc / 255.0)
-            hh = (hh + hue) % 1.0
-            ss = jnp.clip(ss * saturation, 0.0, 1.0)
-            rt, gt, bt = _hsv_to_rgb(hh, ss, vv)
-            r = jnp.where(apply_ct, rt * 255.0, r)
-            g = jnp.where(apply_ct, gt * 255.0, g)
-            b = jnp.where(apply_ct, bt * 255.0, b)
+            m = [scalars_ref[i, k] for k in range(9)]
+            off = scalars_ref[i, 9]
+            rt = m[0] * r + m[1] * g + m[2] * b + off
+            gt = m[3] * r + m[4] * g + m[5] * b + off
+            bt = m[6] * r + m[7] * g + m[8] * b + off
+            r, g, b = _u8_round(rt), _u8_round(gt), _u8_round(bt)
 
-        # ---- grayscale (dali_dataloader.py:96-98) ----
+        apply_gray = scalars_ref[i, 10] != 0.0
+        apply_re = scalars_ref[i, 11] != 0.0
+
+        # ---- grayscale = fn.hsv(saturation=0) = YIQ luma (dali_dataloader.py:96-98)
         if gray_prob > 0:
-            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            luma = _u8_round(0.299 * r + 0.587 * g + 0.114 * b)
             r = jnp.where(apply_gray, luma, r)
             g = jnp.where(apply_gray, luma, g)
             b = jnp.where(apply_gray, luma, b)
 
-        # ---- random erase (dali_dataloader.py:100-110) ----
+        # ---- random erase (dali_dataloader.py:100-110); fill 127.5 -> u8 128
         if re_prob > 0:
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
@@ -133,11 +101,11 @@ def _make_kernel(h, w, rows, color_twist_prob, gray_prob, re_prob, re_count, out
                 inbox = (py >= ay) & (py < ay + sy) & (px >= ax) & (px < ax + sx)
                 mask = mask | inbox
             mask = mask & apply_re
-            r = jnp.where(mask, DATA_MEAN, r)
-            g = jnp.where(mask, DATA_MEAN, g)
-            b = jnp.where(mask, DATA_MEAN, b)
+            r = jnp.where(mask, 128.0, r)
+            g = jnp.where(mask, 128.0, g)
+            b = jnp.where(mask, 128.0, b)
 
-        # ---- normalize (dali_dataloader.py:113-122) ----
+        # ---- normalize (dali_dataloader.py:113-122)
         inv = 1.0 / DATA_STD
         out_ref[0, 0:rows, :] = ((r - DATA_MEAN) * inv).astype(out_dtype)
         out_ref[0, rows : 2 * rows, :] = ((g - DATA_MEAN) * inv).astype(out_dtype)
@@ -157,28 +125,33 @@ def draw_augment_scalars(
     re_prob: float = 0.0,
     re_count: int = 3,
 ) -> jnp.ndarray:
-    """(B, 7 + 4*re_count) float32 per-image parameters, reference
-    distributions (dali_dataloader.py:85-110)."""
-    n = N_BASE_SCALARS + 4 * re_count
+    """(B, 12 + 4*re_count) float32 per-image parameters: color matrix
+    (identity when the color coin said no), offset, gray/erase flags, erase
+    boxes — reference distributions (dali_dataloader.py:85-110)."""
+    n = 7 + 4 * re_count
     u = jax.random.uniform(rng, (batch, n))
+    apply_ct = u[:, 0] < color_twist_prob
+    brightness = brightness_range[0] + u[:, 1] * (brightness_range[1] - brightness_range[0])
+    contrast = contrast_range[0] + u[:, 2] * (contrast_range[1] - contrast_range[0])
+    hue_deg = -20.0 + u[:, 3] * 40.0
+    saturation = 0.7 + u[:, 4] * 0.6
+    a, off = dali_color_matrix(hue_deg, saturation, contrast, brightness)  # (B,3,3), (B,)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=a.dtype), a.shape)
+    a = jnp.where(apply_ct[:, None, None], a, eye)
+    off = jnp.where(apply_ct, off, 0.0)
     cols = [
-        (u[:, 0] < color_twist_prob).astype(jnp.float32),
-        brightness_range[0] + u[:, 1] * (brightness_range[1] - brightness_range[0]),
-        contrast_range[0] + u[:, 2] * (contrast_range[1] - contrast_range[0]),
-        (-20.0 + u[:, 3] * 40.0) / 360.0,  # hue, fraction of the circle
-        0.7 + u[:, 4] * 0.6,  # saturation
-        (u[:, 5] < gray_prob).astype(jnp.float32),
-        (u[:, 6] < re_prob).astype(jnp.float32),
+        a.reshape(batch, 9),
+        off[:, None],
+        (u[:, 5] < gray_prob).astype(jnp.float32)[:, None],
+        (u[:, 6] < re_prob).astype(jnp.float32)[:, None],
     ]
     for k in range(re_count):
-        base = N_BASE_SCALARS + 4 * k
-        cols += [
-            u[:, base + 0],  # anchor y ~ U[0,1]
-            u[:, base + 1],  # anchor x
-            0.05 + u[:, base + 2] * 0.20,  # shape y ~ U[0.05,0.25]
-            0.05 + u[:, base + 3] * 0.20,  # shape x
-        ]
-    return jnp.stack(cols, axis=1)
+        base = 7 + 4 * k
+        cols.append(u[:, base + 0 : base + 1])  # anchor y ~ U[0,1]
+        cols.append(u[:, base + 1 : base + 2])  # anchor x
+        cols.append(0.05 + u[:, base + 2 : base + 3] * 0.20)  # shape y ~ U[0.05,0.25]
+        cols.append(0.05 + u[:, base + 3 : base + 4] * 0.20)  # shape x
+    return jnp.concatenate(cols, axis=1).astype(jnp.float32)
 
 
 @functools.partial(
@@ -186,8 +159,8 @@ def draw_augment_scalars(
     static_argnames=("color_twist_prob", "gray_prob", "re_prob", "re_count", "out_dtype", "interpret"),
 )
 def pallas_augment(
-    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, already mirrored/blurred
-    scalars: jnp.ndarray,  # (B, 7 + 4*re_count) from draw_augment_scalars
+    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, already blurred (mirror comes AFTER)
+    scalars: jnp.ndarray,  # (B, 12 + 4*re_count) from draw_augment_scalars
     *,
     color_twist_prob: float = 0.0,
     gray_prob: float = 0.0,

@@ -1,4 +1,5 @@
-"""Fused Pallas augmentation kernel vs the XLA reference implementation.
+"""Fused Pallas augmentation kernel vs an independent numpy oracle of DALI's
+documented math (linearized-YIQ color ops; see ops/augment.py module comment).
 
 Randomness is drawn OUTSIDE the kernel (scalar prefetch), so the kernel is
 fully testable interpreted on CPU; on TPU the identical kernel compiles
@@ -11,7 +12,7 @@ import numpy as np
 import pytest
 
 from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
-from sota_imagenet_tpu.ops.augment import build_train_augment
+from sota_imagenet_tpu.ops.augment import RGB2YIQ, YIQ2RGB, build_train_augment
 from sota_imagenet_tpu.ops.pallas_aug import N_BASE_SCALARS, draw_augment_scalars, pallas_augment
 
 ON_TPU = jax.default_backend() == "tpu"
@@ -19,6 +20,13 @@ ON_TPU = jax.default_backend() == "tpu"
 
 def _imgs(b=8, s=32, seed=0):
     return np.random.default_rng(seed).integers(0, 256, (b, s, s, 3), np.uint8)
+
+
+def _neutral_scalars(b, re_count=3):
+    """Identity color matrix, zero offset, no gray/erase."""
+    s = np.zeros((b, N_BASE_SCALARS + 4 * re_count), np.float32)
+    s[:, 0] = s[:, 4] = s[:, 8] = 1.0  # identity matrix diag
+    return s
 
 
 def _run(imgs, scalars=None, **kw):
@@ -39,65 +47,90 @@ def _run(imgs, scalars=None, **kw):
     )
 
 
+def _dali_color_oracle(img_u8, hue_deg, sat, contrast, brightness):
+    """Independent numpy implementation of DALI fn.color_twist: single linear
+    transform YIQ2RGB @ R(hue)S(sat) @ RGB2YIQ scaled by brightness*contrast,
+    offset brightness*128*(1-contrast), one saturating round at the end."""
+    h = np.deg2rad(hue_deg)
+    chroma = np.array([[1, 0, 0], [0, sat * np.cos(h), sat * np.sin(h)], [0, -sat * np.sin(h), sat * np.cos(h)]])
+    m = np.asarray(YIQ2RGB) @ chroma @ np.asarray(RGB2YIQ)
+    out = brightness * contrast * np.einsum("hwc,dc->hwd", img_u8.astype(np.float64), m)
+    out += brightness * 128.0 * (1.0 - contrast)
+    # round-half-to-even like CUDA __float2int_rn / jnp.round
+    return np.clip(np.rint(out), 0, 255)
+
+
 def test_normalize_exact():
     imgs = _imgs()
-    out = _run(imgs)
+    out = _run(imgs, scalars=_neutral_scalars(imgs.shape[0]))
     expect = (imgs.astype(np.float32) - DATA_MEAN) / DATA_STD
     np.testing.assert_allclose(out, expect, atol=1e-4)
 
 
-def test_grayscale_applied_per_flag():
+def test_grayscale_is_yiq_luma():
+    """fn.hsv(saturation=0) projects onto the YIQ gray axis: the matrix
+    identity YIQ2RGB @ diag(1,0,0) @ RGB2YIQ == outer((1,1,1), luma) proves
+    Rec.601 luma IS the DALI grayscale (not max-channel of true HSV)."""
+    m0 = np.asarray(YIQ2RGB) @ np.diag([1.0, 0.0, 0.0]) @ np.asarray(RGB2YIQ)
+    np.testing.assert_allclose(m0, np.outer(np.ones(3), [0.299, 0.587, 0.114]), atol=1e-12)
+
     imgs = _imgs(b=4, s=8)
-    scalars = np.zeros((4, N_BASE_SCALARS + 12), np.float32)
-    scalars[:, 1] = 1.0  # brightness neutral
-    scalars[:, 2] = 1.0  # contrast neutral
-    scalars[[0, 2], 5] = 1.0  # gray on images 0 and 2
+    scalars = _neutral_scalars(4)
+    scalars[[0, 2], 10] = 1.0  # gray on images 0 and 2
     out = _run(imgs, scalars=scalars, gray_prob=0.5)
     denorm = out * DATA_STD + DATA_MEAN
-    is_gray = np.all(np.abs(denorm[..., 0] - denorm[..., 1]) < 0.51, axis=(1, 2))
-    assert list(is_gray) == [True, False, True, False]
+    luma = np.rint(
+        0.299 * imgs[..., 0].astype(np.float64) + 0.587 * imgs[..., 1] + 0.114 * imgs[..., 2]
+    )
+    for i in (0, 2):
+        for c in range(3):
+            np.testing.assert_allclose(denorm[i, ..., c], luma[i], atol=0.51)
+    assert not np.allclose(denorm[1, ..., 0], denorm[1, ..., 2], atol=0.5)
 
 
-def test_erase_exact_box():
+def test_erase_exact_box_fill_128():
     imgs = np.full((1, 16, 16, 3), 255, np.uint8)
-    scalars = np.zeros((1, N_BASE_SCALARS + 12), np.float32)
-    scalars[0, 1] = scalars[0, 2] = 1.0
-    scalars[0, 6] = 1.0  # apply erase
+    scalars = _neutral_scalars(1)
+    scalars[0, 11] = 1.0  # apply erase
     # box 0: anchor (0.25, 0.25), shape (0.25, 0.25) -> rows/cols 4..7
     scalars[0, N_BASE_SCALARS + 0 : N_BASE_SCALARS + 4] = [0.25, 0.25, 0.25, 0.25]
     out = _run(imgs, scalars=scalars, re_prob=1.0, re_count=3)
     denorm = out[0] * DATA_STD + DATA_MEAN
-    assert np.allclose(denorm[4:8, 4:8], DATA_MEAN, atol=0.51)
+    # DALI writes fill 127.5 into a uint8 buffer -> 128 exactly
+    np.testing.assert_allclose(denorm[4:8, 4:8], 128.0, atol=0.01)
     assert np.allclose(denorm[:4, :], 255, atol=1.01)
     assert np.allclose(denorm[8:, :], 255, atol=1.01)
 
 
-def test_color_twist_matches_xla_reference():
-    """Same per-image parameters -> the kernel must match the XLA
-    implementation's math closely (both do exact HSV)."""
-    from sota_imagenet_tpu.ops.augment import _color_twist
-
+def test_color_twist_matches_dali_oracle():
     imgs = _imgs(b=3, s=8, seed=5)
-    brightness, contrast, hue_frac, sat = 1.2, 0.85, 10.0 / 360.0, 1.1
-    scalars = np.zeros((3, N_BASE_SCALARS + 12), np.float32)
-    scalars[:, 0] = 1.0  # apply ct
-    scalars[:, 1] = brightness
-    scalars[:, 2] = contrast
-    scalars[:, 3] = hue_frac
-    scalars[:, 4] = sat
+    brightness, contrast, hue_deg, sat = 1.2, 0.85, 10.0, 1.1
+    from sota_imagenet_tpu.ops.augment import dali_color_matrix
+
+    a, off = dali_color_matrix(jnp.float32(hue_deg), jnp.float32(sat), jnp.float32(contrast), jnp.float32(brightness))
+    scalars = _neutral_scalars(3)
+    scalars[:, :9] = np.asarray(a).reshape(9)
+    scalars[:, 9] = float(off)
     out = _run(imgs, scalars=scalars, color_twist_prob=1.0)
     denorm = out * DATA_STD + DATA_MEAN
-    # XLA-side math with identical params
-    img = imgs.astype(np.float32)
-    x = np.clip(brightness * (contrast * (img - 128.0) + 128.0), 0, 255)
-    from sota_imagenet_tpu.ops.augment import _hsv_to_rgb, _rgb_to_hsv
+    for i in range(3):
+        expect = _dali_color_oracle(imgs[i], hue_deg, sat, contrast, brightness)
+        # bf16 image feed + f32 kernel math vs f64 oracle: ties may round apart
+        diff = np.abs(denorm[i] - expect)
+        assert np.mean(diff) < 0.1, np.mean(diff)
+        assert np.max(diff) <= 1.01, np.max(diff)
 
-    hsv = np.asarray(_rgb_to_hsv(jnp.asarray(x / 255.0)))
-    h = (hsv[..., 0] + hue_frac) % 1.0
-    s = np.clip(hsv[..., 1] * sat, 0, 1)
-    expect = np.asarray(_hsv_to_rgb(jnp.stack([jnp.asarray(h), jnp.asarray(s), jnp.asarray(hsv[..., 2])], axis=-1))) * 255.0
-    diff = np.abs(denorm - expect)
-    assert np.mean(diff) < 1.5, np.mean(diff)
+
+def test_xla_color_twist_matches_dali_oracle():
+    """The XLA (non-pallas) path implements the same DALI linear transform."""
+    from sota_imagenet_tpu.ops.augment import dali_color_matrix, _u8_round
+
+    img = _imgs(b=1, s=8, seed=9)[0].astype(np.float32)
+    brightness, contrast, hue_deg, sat = 0.8, 1.25, -15.0, 0.7
+    a, off = dali_color_matrix(jnp.float32(hue_deg), jnp.float32(sat), jnp.float32(contrast), jnp.float32(brightness))
+    got = np.asarray(_u8_round(jnp.einsum("hwc,dc->hwd", jnp.asarray(img), a) + off))
+    expect = _dali_color_oracle(img, hue_deg, sat, contrast, brightness)
+    assert np.max(np.abs(got - expect)) <= 1.01
 
 
 def test_scalar_determinism():
@@ -111,7 +144,7 @@ def test_scalar_determinism():
 
 def test_odd_size_padding():
     imgs = _imgs(b=2, s=30)  # 30*30=900, not divisible by 128
-    out = _run(imgs)
+    out = _run(imgs, scalars=_neutral_scalars(2))
     expect = (imgs.astype(np.float32) - DATA_MEAN) / DATA_STD
     np.testing.assert_allclose(out, expect, atol=1e-4)
 
@@ -121,11 +154,11 @@ def test_full_pallas_augment_path():
     from jax.experimental.pallas import tpu as pltpu
 
     imgs = _imgs(b=4, s=16)
-    aug = build_train_augment(
-        num_classes=10, color_twist_prob=0.5, gray_prob=0.3, re_prob=0.5, out_dtype=jnp.float32,
-        use_pallas=ON_TPU,  # CPU: exercise via interpret below instead
-    )
     if ON_TPU:
+        aug = build_train_augment(
+            num_classes=10, color_twist_prob=0.5, gray_prob=0.3, re_prob=0.5, out_dtype=jnp.float32,
+            use_pallas=True,
+        )
         out = aug(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.arange(4))
     else:
         with pltpu.force_tpu_interpret_mode():
@@ -137,3 +170,30 @@ def test_full_pallas_augment_path():
     assert out["image"].shape == (4, 16, 16, 3)
     assert out["label"].shape == (4, 10)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_mirror_applied_after_erase(use_pallas):
+    """Reference order is erase THEN mirror (dali_dataloader.py:113-122).
+    Erase boxes are anchored in U[0,1] so pre-mirror they can only clip at the
+    right/bottom edge; the trailing mirror makes left-edge-clipped boxes appear
+    ~as often as right-edge ones. Mirror-first would yield ZERO left-clipped
+    boxes — this test catches that ordering bug in both paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s = 64, 16
+    imgs = np.full((b, s, s, 3), 255, np.uint8)
+    kw = dict(num_classes=10, re_prob=1.0, re_count=3, out_dtype=jnp.float32, use_pallas=use_pallas)
+    if use_pallas and not ON_TPU:
+        with pltpu.force_tpu_interpret_mode():
+            aug = build_train_augment(**kw)
+            out = aug(jax.random.PRNGKey(3), jnp.asarray(imgs), jnp.zeros(b, jnp.int32))
+    else:
+        aug = build_train_augment(**kw)
+        out = aug(jax.random.PRNGKey(3), jnp.asarray(imgs), jnp.zeros(b, jnp.int32))
+    denorm = np.asarray(out["image"]) * DATA_STD + DATA_MEAN
+    erased = np.abs(denorm[..., 0] - 128.0) < 0.6  # (B, H, W)
+    left = int(np.sum(erased[:, :, 0].any(axis=1)))
+    right = int(np.sum(erased[:, :, -1].any(axis=1)))
+    assert left >= 3, f"no left-edge erases: mirror ran before erase (left={left}, right={right})"
+    assert right >= 3
