@@ -362,6 +362,9 @@ class CheckpointSaver(Callback):
         self._best: Optional[float] = None
 
     def on_epoch_end(self, epoch, train_metrics, val_metrics):
+        # runs on EVERY process: orbax saves are collective (each shard written
+        # once by its owner); only process 0 mutates the directory layout —
+        # see train/checkpoint.py. Master-gating here would deadlock multihost.
         if self.runner is None:
             return
         from sota_imagenet_tpu.train.checkpoint import save_checkpoint
@@ -381,6 +384,11 @@ class CheckpointSaver(Callback):
             self._best = val
             save_checkpoint(self.save_dir, state, epoch, name="model_best.ckpt")
             get_logger().info(f"Epoch {epoch:3d} | new best {self.monitor}: {val:.4f}")
+
+    def on_end(self):
+        from sota_imagenet_tpu.train.checkpoint import finalize_checkpoints
+
+        finalize_checkpoints()  # commit the last async save before exit
 
 
 class TensorBoard(Callback):

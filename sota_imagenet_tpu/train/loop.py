@@ -221,3 +221,6 @@ class Runner:
     def close(self):
         for c in self.callbacks:
             c.on_end()
+        from sota_imagenet_tpu.train.checkpoint import finalize_checkpoints
+
+        finalize_checkpoints()  # commit any in-flight async save

@@ -66,20 +66,88 @@ WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_data_parallel(tmp_path):
+CKPT_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+    )
+    ckpt_dir = sys.argv[3]
+    import jax.numpy as jnp
+    import numpy as np
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models.cmodel import CModel
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+    from sota_imagenet_tpu.train import steps as steps_lib
+    from sota_imagenet_tpu.train.checkpoint import finalize_checkpoints, load_checkpoint, save_checkpoint
+
+    mesh = create_mesh()
+    model = CModel(layer_config=[
+        {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+        {"module": "BatchNorm2d", "args": [8]},
+        {"module": "ReLU"},
+        {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+        {"module": "Linear", "args": [8, 10]},
+    ])
+    crit = CrossEntropyLoss(smoothing=0.1)
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9}, sched)
+    rng = jax.random.PRNGKey(0)
+    state = steps_lib.init_state(model, tx, (2, 16, 16, 3), rng, input_dtype=jnp.float32)
+    state = jax.device_put(state, replicate(mesh))
+    step = jax.jit(steps_lib.build_train_step(model, crit, tx, sched, input_dtype=jnp.float32))
+
+    pid = jax.process_index()
+    local = np.random.default_rng(100 + pid).normal(size=(8, 16, 16, 3)).astype(np.float32)
+    local_labels = np.eye(10, dtype=np.float32)[np.arange(8) % 10]
+    sh = batch_sharding(mesh)
+    batch = {
+        "image": jax.make_array_from_process_local_data(sh, local),
+        "label": jax.make_array_from_process_local_data(sh, local_labels),
+    }
+    with mesh:
+        for _ in range(2):
+            state, m = step(state, batch, rng)
+    # EVERY process calls save (collective); async + deferred-commit, then a
+    # second save exercises the finalize-before-next-save path
+    save_checkpoint(ckpt_dir, state, epoch=1, name="model.ckpt")
+    with mesh:
+        state, m = step(state, batch, rng)
+    save_checkpoint(ckpt_dir, state, epoch=2, name="model.ckpt")
+    finalize_checkpoints()
+    assert os.path.isdir(os.path.join(ckpt_dir, "model.ckpt")), os.listdir(ckpt_dir)
+    leftovers = [f for f in os.listdir(ckpt_dir) if ".new-" in f or f.endswith(".stale")]
+    assert not leftovers, leftovers
+    # resume into a FRESH replicated template on both processes
+    fresh = steps_lib.init_state(model, tx, (2, 16, 16, 3), jax.random.PRNGKey(9), input_dtype=jnp.float32)
+    fresh = jax.device_put(fresh, replicate(mesh))
+    restored, epoch = load_checkpoint(os.path.join(ckpt_dir, "model.ckpt"), fresh)
+    assert epoch == 2, epoch
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params), jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)), rtol=1e-6)
+    print(f"CKPT_OK pid={pid} step={int(jax.device_get(restored.step))}", flush=True)
+    """
+)
+
+
+def _run_two_procs(tmp_path, worker_src, extra_args=()):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     coord = f"127.0.0.1:{s.getsockname()[1]}"
     s.close()
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(worker_src)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_")}
     env["PYTHONPATH"] = repo
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(pid)],
+            [sys.executable, str(script), coord, str(pid), *extra_args],
             env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
@@ -89,8 +157,24 @@ def test_two_process_data_parallel(tmp_path):
         out, _ = p.communicate(timeout=560)
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
+    return outs
+
+
+def test_two_process_data_parallel(tmp_path):
+    outs = _run_two_procs(tmp_path, WORKER)
     results = [l for o in outs for l in o.splitlines() if l.startswith("RESULT")]
     assert len(results) == 2, outs
     # both processes observe the SAME global loss (grad all-reduce worked)
     losses = sorted(float(r.split("loss=")[1].split()[0]) for r in results)
     assert abs(losses[0] - losses[1]) < 1e-6, results
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Collective orbax save from 2 processes + committed layout + restore
+    (VERDICT r1 #7: multi-host checkpoint correctness)."""
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    outs = _run_two_procs(tmp_path, CKPT_WORKER, extra_args=(str(ckpt_dir),))
+    oks = [l for o in outs for l in o.splitlines() if l.startswith("CKPT_OK")]
+    assert len(oks) == 2, outs
+    assert all("step=3" in l for l in oks), oks

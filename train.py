@@ -213,8 +213,11 @@ def main(argv=None):
         log.info(f"Acc@1 {vm.get('Acc@1', 0):.3f} Acc@5 {vm.get('Acc@5', 0):.3f}")
     m = (time.time() - start_time) / 60
     log.info(f"Total time: {int(m / 60)}h {m % 60:.1f}m")
-    if is_master:
-        save_checkpoint(run_dir, runner.state, data_manager.tot_epochs, name="model_last.ckpt")
+    # NOT master-gated: orbax saves are collective in multiprocess runs (each
+    # shard written once by its owner; process 0 does the renames) — gating
+    # would deadlock a pod. The reference's master-only torch.save
+    # (train.py:183-184) doesn't translate.
+    save_checkpoint(run_dir, runner.state, data_manager.tot_epochs, name="model_last.ckpt", block=True)
     runner.close()
     return vm
 
