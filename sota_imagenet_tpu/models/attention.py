@@ -105,12 +105,14 @@ class XCA(nn.Module):
 
     dim: int = 0
     num_heads: int = 8
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
     last_proj: bool = False
     residual: bool = True
     v_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, **_):
+    def __call__(self, x, train: bool = False, **_):
         b, h, w, c = x.shape
         hd, cp = self.num_heads, c // self.num_heads
         temp = self.param("temperature", nn.initializers.ones, (hd, 1, 1), jnp.float32)
@@ -122,6 +124,8 @@ class XCA(nn.Module):
         k = _l2norm(k.astype(jnp.float32), axis=-1)
         attn = jnp.einsum("bhcn,bhdn->bhcd", q, k, preferred_element_type=jnp.float32) * temp
         attn = jax.nn.softmax(attn, axis=-1)
+        if self.attn_drop:
+            attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)
         if self.v_norm:
             temp2 = self.param("temperature2", nn.initializers.ones, (hd, 1, 1), jnp.float32)
             v = _l2norm(v.astype(jnp.float32), axis=-2) * temp2
@@ -129,6 +133,8 @@ class XCA(nn.Module):
         out = out.astype(x.dtype).transpose(0, 3, 1, 2).reshape(b, h, w, c)
         if self.last_proj:
             out = ScaledStdConv(out_chs=c, kernel_size=1, padding=0, name="proj")(out)
+            if self.proj_drop:
+                out = nn.Dropout(rate=self.proj_drop)(out, deterministic=not train)
         return x + out if self.residual else out
 
 
@@ -139,13 +145,20 @@ class UFO(nn.Module):
     dim: int = 0
     out_dim: Optional[int] = None
     num_heads: int = 8
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
     last_proj: bool = False
     residual: bool = True
     qk_norm: bool = False
     prelast_act: bool = False
+    # pre-normalize the input before qkv (reference config 82 "my-attn" names a
+    # removed option; standard pre-norm attention is the faithful reading)
+    prenorm: bool = False
 
     @nn.compact
-    def __call__(self, x, **_):
+    def __call__(self, x, train: bool = False, **_):
+        if self.prenorm:
+            x = nn.LayerNorm(use_bias=False, use_scale=True, name="prenorm")(x)
         b, h, w, c = x.shape
         out_dim = self.out_dim or c
         hd, cp = self.num_heads, c // self.num_heads
@@ -159,6 +172,8 @@ class UFO(nn.Module):
             k = k / (k.shape[-1] ** 0.25)
         attn = jnp.einsum("bhcn,bhdn->bhcd", q, k, preferred_element_type=jnp.float32)
         attn = _l2norm(attn, axis=-1) * temp
+        if self.attn_drop:
+            attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)
         v_hat = _l2norm(v, axis=-2) * temp2
         out = jnp.einsum("bhcd,bhdn->bhcn", attn, v_hat, preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).transpose(0, 3, 1, 2).reshape(b, h, w, c)
@@ -166,6 +181,8 @@ class UFO(nn.Module):
             out = jax.nn.hard_silu(out)
         if self.last_proj:
             out = ScaledStdConv(out_chs=out_dim, kernel_size=1, padding=0, name="proj")(out)
+            if self.proj_drop:
+                out = nn.Dropout(rate=self.proj_drop)(out, deterministic=not train)
         return x + out if self.residual else out
 
 
@@ -174,6 +191,7 @@ _ATTN = {
     "eca": lambda chs, **kw: ECA(channels=chs, kernel_size=kw.pop("kernel_size", 3), **kw),
     "eca9": lambda chs, **kw: ECA(channels=chs, kernel_size=9, **kw),
     "sevar3": lambda chs, **kw: SEVar3(channels=chs, **kw),
+    "se-var3": lambda chs, **kw: SEVar3(channels=chs, **kw),
     "xca": lambda chs, **kw: XCA(dim=chs, **kw),
     "ufo": lambda chs, **kw: UFO(dim=chs, **kw),
 }

@@ -48,7 +48,9 @@ def _make_pre_norm(pre_norm, channels: int) -> Optional[nn.Module]:
     if isinstance(pre_norm, nn.Module):
         return pre_norm
     if isinstance(pre_norm, str):
-        return norm_from_name(pre_norm)()
+        # reference configs write "VarEMA(128)" (eval'd in the reference,
+        # model.py:1199-1204); the channel arg is inferred from the input here
+        return norm_from_name(pre_norm.split("(")[0])()
     raise ValueError(f"bad pre_norm {pre_norm!r}")
 
 
@@ -183,7 +185,7 @@ class NormFreeBlock(nn.Module):
         out = ChannelShuffle(groups=groups)(out)
         if self.attention_type:
             attn = get_attn(self.attention_type)(self.out_chs, **(self.attention_kwargs or {}))
-            out = Affine(value=self.attention_gain)(attn(out))
+            out = Affine(value=self.attention_gain)(attn(out, train=train))
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
         return partial_residual(out, x)
 
@@ -241,7 +243,7 @@ class NormFreeBlockTimm(nn.Module):
 
         def apply_attn(t):
             attn = get_attn(self.attention_type)(t.shape[-1], **(self.attention_kwargs or {}))
-            return Affine(value=self.attention_gain)(attn(t))
+            return Affine(value=self.attention_gain)(attn(t, train=train))
 
         if self.attention_type and self.regnet_attention:
             out = apply_attn(out)
@@ -288,12 +290,13 @@ class NonDeepBlock(nn.Module):
                 raise ValueError("XCA requires in_chs == out_chs")
             xk = dict(self.xca_kwargs)
             xk.setdefault("residual", False)  # summed into the block output anyway
-            out = out + XCA(dim=self.out_chs, **xk)(x_norm)
+            out = out + XCA(dim=self.out_chs, **xk)(x_norm, train=train)
         elif self.ufo_kwargs is not None:
             uk = dict(self.ufo_kwargs)
             if self.in_chs != self.out_chs:
                 uk["last_proj"] = True  # projection required to reach out_chs
-            out = out + UFO(dim=self.in_chs, out_dim=self.out_chs, residual=False, **uk)(x_norm)
+            uk.setdefault("residual", False)  # summed into the block output anyway
+            out = out + UFO(dim=self.in_chs, out_dim=self.out_chs, **uk)(x_norm, train=train)
         elif self.use_se and self.in_chs == self.out_chs:
             out = out + SEVar3(channels=self.out_chs, scaled=self.scaled)(x_norm)
         if self.residual:

@@ -72,6 +72,18 @@ def _dropout(p=0.5, **kw):
     return L.Dropout(rate=p)
 
 
+def _conv_residual(*a, **kw):
+    """ConvResidual takes an optional leading conv-ctor name in the reference
+    (``[ConvResidual, [conv3x3, 48, 64]]``, model.py:1038-1053; used by
+    config 68). A plain name selects an unscaled conv."""
+    if a and isinstance(a[0], str):
+        name, i, o = a[0], a[1], a[2]
+        kw.setdefault("scaled", name.startswith("scaled"))
+        kw.setdefault("kernel_size", 1 if "1x1" in name else 3)
+        return B.ConvResidual(in_chs=i, out_chs=o, **kw)
+    return B.ConvResidual(in_chs=a[0], out_chs=a[1], **kw)
+
+
 def _norm_ctor(cls, chs_field=None):
     def make(*args, **kw):
         if chs_field and args:
@@ -111,6 +123,9 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "VarEMA": _norm_ctor(N.VarEMA, "n_channels"),
     "FRNv1": _norm_ctor(N.FRNv1, "num_features"),
     "FRNv2": _norm_ctor(N.FRNv2, "num_features"),
+    # reference config 64 names a removed "FRN(v3)" class; map to the latest
+    # surviving version
+    "FRN": _norm_ctor(N.FRNv2, "num_features"),
     "MeanEMA": _norm_ctor(N.MeanEMA),
     "ScaleNorm": _norm_ctor(N.ScaleNorm),
     "Affine": lambda v=1.0, **kw: N.Affine(value=v, **kw),
@@ -125,7 +140,7 @@ _MODULES: Dict[str, Callable[..., nn.Module]] = {
     "FastGlobalAvgPool2d": lambda *a, **kw: L.FastGlobalAvgPool(**kw),
     "GEM_pool": lambda *a, **kw: L.GEMPool(**kw),
     "GEM_pool_channel": lambda c=0, **kw: L.GEMPoolChannel(num_channels=c, **kw),
-    "ConvResidual": lambda i, o, **kw: B.ConvResidual(in_chs=i, out_chs=o, **kw),
+    "ConvResidual": lambda *a, **kw: _conv_residual(*a, **kw),
     "Residual": lambda fn=None, **kw: B.Residual(fn=fn),
     "MaxPool2d": lambda w=3, s=None, p=0, **kw: L.MaxPool(window=w, stride=s if s is not None else w, padding=p),
     "AvgPool2d": lambda w=2, s=None, p=0, **kw: L.AvgPool(window=w, stride=s if s is not None else w, padding=p),
@@ -223,8 +238,9 @@ def _parse_entry(entry: Union[Dict, List]) -> ModuleStructure:
             [entry[3]] if len(entry) > 3 else []
         )
         kwargs = _thaw(entry[4]) if len(entry) > 4 else {}
-        if not isinstance(inputs, list):
+        if not isinstance(inputs, (list, tuple)):
             inputs = [inputs]
+        inputs = list(inputs)
         inputs = ["_prev_" if i == -1 else i for i in inputs]
         return ModuleStructure(module=module, args=args, kwargs=kwargs, repeat=repeat, inputs=inputs)
     raise ValueError(f"bad CModel layer entry: {entry!r}")
@@ -255,22 +271,27 @@ class CModel(nn.Module):
             x = x.astype(self.dtype)
         structures = self._build_structures()
         tag_to_idx = {s.tag: i for i, s in enumerate(structures) if s.tag is not None}
-        tag_to_idx["_prev_"] = -1
 
-        saved_needed = set()
-        for s in structures:
-            for inp in s.inputs:
-                if inp != "_prev_":
-                    if inp not in tag_to_idx:
-                        raise KeyError(f"CModel: input tag {inp!r} not found")
-                    saved_needed.add(tag_to_idx[inp])
+        def resolve_input(inp, layer_idx: int) -> int:
+            """-1/_prev_ = previous output; other ints are yolo-style layer
+            references (negative = relative, >=0 = absolute); strings = tags."""
+            if inp == "_prev_":
+                return -1
+            if isinstance(inp, int):
+                return layer_idx + inp if inp < 0 else inp
+            if inp not in tag_to_idx:
+                raise KeyError(f"CModel: input tag {inp!r} not found")
+            return tag_to_idx[inp]
+
+        resolved = [[resolve_input(i, idx) for i in s.inputs] for idx, s in enumerate(structures)]
+        saved_needed = {j for idxs in resolved for j in idxs if j != -1}
 
         saved: List[Any] = []
         for idx, s in enumerate(structures):
             ctor = resolve_module(str(s.module))
             args = [_norm_value(a) for a in s.args]
             kwargs = {k: _norm_value(v) for k, v in s.kwargs.items()}
-            inps = [x if tag_to_idx[i] == -1 else saved[tag_to_idx[i]] for i in s.inputs]
+            inps = [x if j == -1 else saved[j] for j in resolved[idx]]
             for r in range(int(s.repeat)):
                 # construction inside @nn.compact auto-binds + auto-names
                 # (deterministic by layer order, stable for checkpoints)

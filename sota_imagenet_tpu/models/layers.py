@@ -364,6 +364,7 @@ class ScaledStdConv(nn.Module):
     eps: float = 1e-6
     n_heads: int = 1
     norm: bool = False
+    single_gain: bool = False  # one scalar gain for all channels (ref config 36)
     partial_conv: bool = False
     coord_conv: bool = False
     dtype: Dtype = None
@@ -390,10 +391,11 @@ class ScaledStdConv(nn.Module):
         fan_in = k * k * (in_chs // self.groups)
         # gamma / sqrt(fan_in), * sqrt(n_heads) to compensate the head mean
         scale = self.gamma * fan_in**-0.5 * self.n_heads**0.5
+        gain_shape = (1,) if self.single_gain else (out_chs,)
         if self.gain_init is not None:
-            gain = self.param("gain", nn.initializers.constant(self.gain_init), (out_chs,), jnp.float32)
+            gain = self.param("gain", nn.initializers.constant(self.gain_init), gain_shape, jnp.float32)
         else:
-            gain = jnp.ones((out_chs,), jnp.float32)
+            gain = jnp.ones(gain_shape, jnp.float32)
 
         w32 = kernel.astype(jnp.float32)
         if self.norm:
@@ -422,6 +424,11 @@ class ScaledStdConv(nn.Module):
             feature_group_count=self.groups,
         )
         if self.n_heads != 1:
+            # bias is part of the conv (torch Conv2d(out*heads)), so it is
+            # added BEFORE head averaging (reference model.py:101-119)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+                bias = None
             b, h, w, _ = out.shape
             out = out.reshape(b, h, w, self.n_heads, self.out_chs).mean(axis=3)
 

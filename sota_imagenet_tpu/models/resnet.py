@@ -34,6 +34,65 @@ from sota_imagenet_tpu.models.norms import BatchNorm
 Dtype = Any
 
 
+class Conv1x1BNStats(nn.Module):
+    """1x1 conv + BatchNorm with the batch statistics computed in the conv's
+    Pallas matmul epilogue (ops/pallas_conv_stats.py) — removes the separate
+    HBM read of the conv output that XLA's BN stats reduction performs
+    (profiling: BN-stats convert+reduce = 47% of the r50 step). Eval mode is a
+    plain XLA conv + running-stats normalize. Optional fused activation.
+
+    Parameter/stat names mirror Conv (kernel) + flax BatchNorm (scale, bias /
+    mean, var) one level down, so state dicts stay readable."""
+
+    out_chs: int = 0
+    stride: int = 1
+    momentum: float = 0.1  # torch convention
+    eps: float = 1e-5
+    activation: Optional[str] = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (1, 1, c_in, self.out_chs),
+            jnp.float32,
+        )
+        c = self.out_chs
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        dt = self.dtype or x.dtype
+
+        if not train or self.is_initializing():
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt),
+                kernel.astype(dt),
+                (self.stride, self.stride),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            from sota_imagenet_tpu.ops.pallas_conv_stats import conv1x1_stats_nhwc
+
+            y, s1, s2 = conv1x1_stats_nhwc(x, kernel, stride=self.stride)
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * var
+        inv = (jax.lax.rsqrt(var + self.eps) * scale).astype(dt)
+        out = y.astype(dt) * inv + (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(dt)
+        if self.activation:
+            out = activation_from_name(self.activation)(out)
+        return out
+
+
 class _NormAct(nn.Module):
     """BN + activation (ABN-style); `activation='identity'` for plain BN."""
 
@@ -98,6 +157,7 @@ class Bottleneck(nn.Module):
     antialias: bool = False
     attn_type: Optional[str] = None
     keep_prob: float = 1.0
+    fused_stats: bool = False  # pallas conv1x1+BN-stats epilogue (TPU perf)
     dtype: Dtype = None
 
     expansion = 4
@@ -107,15 +167,23 @@ class Bottleneck(nn.Module):
         dt = self.dtype
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_chs = self.planes * self.expansion
-        out = Conv(out_chs=width, kernel_size=1, padding=0, use_bias=False, dtype=dt)(x)
-        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+        if self.fused_stats and self.groups == 1:
+            out = Conv1x1BNStats(
+                out_chs=width, momentum=self.bn_momentum, activation=self.norm_act, dtype=dt, name="fconv1"
+            )(x, train=train)
+        else:
+            out = Conv(out_chs=width, kernel_size=1, padding=0, use_bias=False, dtype=dt)(x)
+            out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         conv_stride = 1 if self.antialias else self.stride
         out = Conv(out_chs=width, kernel_size=3, stride=conv_stride, padding=1, groups=self.groups, use_bias=False, dtype=dt)(out)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
         out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
-        out = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt)(out)
-        out = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+        if self.fused_stats:
+            out = Conv1x1BNStats(out_chs=out_chs, momentum=self.bn_momentum, dtype=dt, name="fconv3")(out, train=train)
+        else:
+            out = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt)(out)
+            out = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(out_chs)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -124,9 +192,14 @@ class Bottleneck(nn.Module):
             if self.antialias and self.stride == 2:
                 res = BlurPool()(res)
                 res = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
+                res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
+            elif self.fused_stats:
+                res = Conv1x1BNStats(
+                    out_chs=out_chs, stride=self.stride, momentum=self.bn_momentum, dtype=dt, name="fdown"
+                )(res, train=train)
             else:
                 res = Conv(out_chs=out_chs, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-            res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
+                res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
@@ -146,6 +219,7 @@ class ResNet(nn.Module):
     attn_type: Optional[str] = None
     drop_rate: float = 0.0
     drop_connect_rate: float = 0.0
+    fused_stats: bool = False  # pallas conv1x1+BN-stats epilogue (TPU perf)
     dtype: Dtype = None
 
     @nn.compact
@@ -191,7 +265,11 @@ class ResNet(nn.Module):
                     keep_prob=keep_prob if self.drop_connect_rate > 0 else 1.0,
                     dtype=dt,
                     name=f"layer{stage + 1}_{b}",
-                    **({"groups": self.groups, "base_width": self.base_width} if self.block is Bottleneck else {}),
+                    **(
+                        {"groups": self.groups, "base_width": self.base_width, "fused_stats": self.fused_stats}
+                        if self.block is Bottleneck
+                        else {}
+                    ),
                 )(x, train=train)
                 in_chs = planes * self.block.expansion
                 block_idx += 1

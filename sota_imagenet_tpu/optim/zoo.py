@@ -32,14 +32,6 @@ def _lr_at(learning_rate: Schedule, count: jnp.ndarray) -> jnp.ndarray:
     return jnp.asarray(learning_rate, jnp.float32)
 
 
-def _masked(mask, leaf_path_value: bool, default: bool = True):
-    return leaf_path_value if mask is None else leaf_path_value
-
-
-def _wd_factor(mask_leaf, wd):
-    return wd if (mask_leaf is None or mask_leaf) else 0.0
-
-
 def _tree_with_mask(params, mask):
     if mask is None:
         return jax.tree_util.tree_map(lambda _: True, params)

@@ -82,6 +82,42 @@ class CutmixMixup(Callback):
         }
 
 
+class Cutmix(Callback):
+    """Cutmix-only batch transform (reference pt_clb.Cutmix, used by the bnet
+    configs). num_classes is accepted for reference-config compatibility but
+    unused — labels are already one-hot in the loader."""
+
+    def __init__(self, alpha: float = 1.0, num_classes: Optional[int] = None, prob: float = 0.5):
+        self.alpha = alpha
+        self.prob = prob
+
+    def step_options(self):
+        import functools
+
+        return {
+            "mixup_fn": functools.partial(
+                cutmix_mixup, cutmix_alpha=self.alpha, mixup_alpha=1.0, prob=self.prob, choice_prob=1.0
+            )
+        }
+
+
+class Mixup(Callback):
+    """Mixup-only batch transform (reference pt_clb.Mixup)."""
+
+    def __init__(self, alpha: float = 0.2, num_classes: Optional[int] = None, prob: float = 0.5):
+        self.alpha = alpha
+        self.prob = prob
+
+    def step_options(self):
+        import functools
+
+        return {
+            "mixup_fn": functools.partial(
+                cutmix_mixup, cutmix_alpha=1.0, mixup_alpha=self.alpha, prob=self.prob, choice_prob=0.0
+            )
+        }
+
+
 class SAMOriginal(Callback):
     """ASAM à la SamsungLabs (reference callbacks.py:279-337) as a second grad
     inside the jitted step."""
@@ -146,8 +182,9 @@ class AdaptiveGradientClipping(Callback):
     """AGC (pytorch_tools callback used by 2 reference configs; NFNet
     arXiv:2102.06171): clip grads by unit-wise grad/param norm ratio."""
 
-    def __init__(self, clipping: float = 0.01, eps: float = 1e-3):
-        self.clipping = clipping
+    def __init__(self, clipping: float = 0.01, eps: float = 1e-3, clip_factor: Optional[float] = None):
+        # pytorch_tools names the arg clip_factor (reference 80_1 config)
+        self.clipping = clip_factor if clip_factor is not None else clipping
         self.eps = eps
 
     def step_options(self):
@@ -475,6 +512,8 @@ registry.register("Callback", aliases=("pytorch_tools.fit_wrapper.callbacks.Call
 registry.register("CutmixMixup", aliases=("src.callbacks.CutmixMixup", "sota_imagenet.callbacks.CutmixMixup"))(
     CutmixMixup
 )
+registry.register("Cutmix", aliases=("pytorch_tools.fit_wrapper.callbacks.Cutmix", "pt_clb.Cutmix"))(Cutmix)
+registry.register("Mixup", aliases=("pytorch_tools.fit_wrapper.callbacks.Mixup", "pt_clb.Mixup"))(Mixup)
 registry.register("SAM", aliases=("src.callbacks.SAM",))(SAM)
 registry.register("ForwardWeightNorm", aliases=("src.callbacks.ForwardWeightNorm",))(ForwardWeightNorm)
 registry.register("ForwardSpectralNorm", aliases=("src.callbacks.ForwardSpectralNorm",))(ForwardSpectralNorm)

@@ -200,6 +200,10 @@ class Runner:
         return self.train_metrics, self.val_metrics
 
     def evaluate(self, loader, steps: Optional[int] = None, use_ema: bool = False, _internal: bool = False):
+        """NOTE: with a stateful criterion (AdaCos), eval THREADS the current
+        train-time loss_state read-only — the eval step never mutates it, so
+        statistics gathered during training are what eval scoring uses
+        (matching the reference, where AdaCos buffers are model state)."""
         self._ensure_began()
         if self._eval_step is None:
             self._build_eval_steps()

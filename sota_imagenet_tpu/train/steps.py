@@ -44,9 +44,12 @@ def cutmix_mixup(
     cutmix_alpha: float = 1.0,
     mixup_alpha: float = 0.2,
     prob: float = 1.0,
+    choice_prob: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Randomly apply cutmix OR mixup (50/50) to a batch (reference
-    CutmixMixup, callbacks.py:232-247). Labels must be soft/one-hot."""
+    """Randomly apply cutmix OR mixup to a batch (reference CutmixMixup,
+    callbacks.py:232-247; 50/50 choice). choice_prob = P(cutmix | applied):
+    1.0 gives the standalone pt_clb.Cutmix, 0.0 the standalone Mixup.
+    Labels must be soft/one-hot."""
     k_apply, k_choice, k_lam_m, k_lam_c, k_box = jax.random.split(rng, 5)
     b, h, w, _ = images.shape
     perm_images = images[::-1]
@@ -75,7 +78,7 @@ def cutmix_mixup(
     lam_adj = 1.0 - ((y1 - y0) * (x1 - x0)) / (h * w)  # exact area after clipping
     cut_lab = lam_adj * labels + (1.0 - lam_adj) * perm_labels
 
-    use_cutmix = jax.random.bernoulli(k_choice, 0.5)
+    use_cutmix = jax.random.bernoulli(k_choice, choice_prob)
     out_img = jnp.where(use_cutmix, cut_img, mix_img)
     out_lab = jnp.where(use_cutmix, cut_lab, mix_lab)
 
