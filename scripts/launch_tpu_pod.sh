@@ -1,17 +1,62 @@
 #!/usr/bin/env bash
-# Multi-host TPU pod launch (replaces the reference's torch.distributed.launch
-# docker/SLURM wrappers, docker/run_train.sh + slurm_train_*.slurm).
+# Multi-host TPU pod launcher (replaces the reference's torch.distributed.launch
+# docker/SLURM wrappers: docker/run_train.sh:3-11, slurm_train_2gpu.slurm:10-16).
 #
-# On a TPU pod slice, run the SAME command on every worker; JAX discovers the
-# topology from the TPU runtime (no MASTER_ADDR/WORLD_SIZE plumbing needed):
+# On a TPU pod slice every worker runs the SAME command; JAX discovers the
+# topology from the TPU runtime (no MASTER_ADDR/WORLD_SIZE plumbing). This
+# script: (1) syncs the repo to all workers, (2) fans the training command out
+# with --worker=all, (3) runs it under nohup so SSH drops don't kill training,
+# and (4) enables run.auto_resume=true so a preempted/restarted launch
+# continues from the newest checkpoint (the reference's recovery was
+# re-launching by hand with run.resume=..., SURVEY.md §5.3).
 #
-#   gcloud compute tpus tpu-vm ssh $TPU_NAME --worker=all -- \
-#     "cd ~/sota_imagenet_tpu && IMAGENET_DIR=/data/imagenet \
-#      python train.py -c configs/r50_baseline.yaml $@"
+# Usage:
+#   TPU_NAME=my-pod ZONE=us-central2-b ./scripts/launch_tpu_pod.sh \
+#       configs/r50_baseline.yaml [key=value overrides...]
+#   TPU_NAME=my-pod ZONE=... ./scripts/launch_tpu_pod.sh --status   # tail logs
+#   TPU_NAME=my-pod ZONE=... ./scripts/launch_tpu_pod.sh --stop     # kill run
 #
-# For CPU-simulated multi-process testing, set JAX_COORDINATOR_ADDRESS (the
-# trainer calls jax.distributed.initialize() when it is present).
-set -e
+# Local single-host fallback (no TPU_NAME): runs train.py directly.
+set -euo pipefail
+
 CONFIG=${1:-configs/r50_baseline.yaml}
 shift || true
-exec python train.py -c "$CONFIG" "$@"
+
+if [[ -z "${TPU_NAME:-}" ]]; then
+    # single host (1 process, all local chips) — auto_resume still applies
+    exec python train.py -c "$CONFIG" run.auto_resume=true "$@"
+fi
+
+ZONE=${ZONE:?set ZONE (e.g. us-central2-b)}
+REMOTE_DIR=${REMOTE_DIR:-'~/sota_imagenet_tpu'}
+SSH=(gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all --command)
+
+if [[ "$CONFIG" == "--status" ]]; then
+    "${SSH[@]}" "tail -n 5 $REMOTE_DIR/train.out"
+    exit 0
+fi
+if [[ "$CONFIG" == "--stop" ]]; then
+    "${SSH[@]}" "pkill -f 'python train.py' || true"
+    exit 0
+fi
+
+REPO_ROOT=$(cd "$(dirname "$0")/.." && pwd)
+
+echo ">> syncing $REPO_ROOT to all workers of $TPU_NAME"
+# scp supports --worker=all; exclude run artifacts
+TMP_TAR=$(mktemp /tmp/sota_tpu_XXXX.tar.gz)
+tar -C "$REPO_ROOT" --exclude logs --exclude .git --exclude '__pycache__' -czf "$TMP_TAR" .
+gcloud compute tpus tpu-vm scp "$TMP_TAR" "$TPU_NAME":/tmp/sota_tpu.tar.gz --zone "$ZONE" --worker=all
+"${SSH[@]}" "mkdir -p $REMOTE_DIR && tar -xzf /tmp/sota_tpu.tar.gz -C $REMOTE_DIR"
+rm -f "$TMP_TAR"
+
+echo ">> launching on all workers: $CONFIG $*"
+# nohup + setsid: survive the ssh session; one process per host, all local
+# chips addressed by JAX; auto_resume makes relaunch-after-preemption a no-op
+# decision for the operator (just run this script again).
+"${SSH[@]}" "cd $REMOTE_DIR && \
+  setsid nohup env IMAGENET_DIR=\${IMAGENET_DIR:-/data/imagenet} \
+  python train.py -c $CONFIG run.auto_resume=true $* \
+  > train.out 2>&1 < /dev/null &"
+
+echo ">> launched. follow with: TPU_NAME=$TPU_NAME ZONE=$ZONE $0 --status"
