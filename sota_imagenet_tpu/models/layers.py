@@ -48,8 +48,8 @@ _ACTIVATIONS: dict = {
 # convention the reference relies on via `gamma` (model.py:59, arg_parser.py:133).
 ACTIVATION_GAMMA: dict = {
     "relu": math.sqrt(2.0 / (1.0 - 1.0 / math.pi)),  # ≈1.7139
-    "silu": 1.7881,
-    "swish": 1.7881,
+    "silu": 1.7881293296813965,  # timm _nonlin_gamma value, for exact import parity
+    "swish": 1.7881293296813965,
     "swish_hard": 1.8138,
     "gelu": 1.7015,
     "identity": 1.0,

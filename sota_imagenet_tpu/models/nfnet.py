@@ -54,11 +54,14 @@ class NFBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        act = activation_from_name(self.activation)
+        # gamma is folded into the ACTIVATION (act_g = gamma*act), matching
+        # timm/DeepMind NFNets exactly — all WS convs use gamma=1.0, so a timm
+        # state_dict imports without any rescaling (utils/torch_import.py)
+        base_act = activation_from_name(self.activation)
+        act = lambda t: base_act(t) * self.gamma
         mid = int(self.out_chs * self.bottle_ratio)
         groups = max(mid // self.group_size, 1)
         mid = groups * self.group_size
-        g = self.gamma
 
         out = act(x) * self.beta
 
@@ -69,11 +72,11 @@ class NFBlock(nn.Module):
                 s = nn.avg_pool(s, (2, 2), strides=(2, 2))
             shortcut = ScaledStdConv(out_chs=self.out_chs, kernel_size=1, padding=0, gamma=1.0, name="downsample")(s)
 
-        out = ScaledStdConv(out_chs=mid, kernel_size=1, padding=0, gamma=g, name="conv1")(out)
+        out = ScaledStdConv(out_chs=mid, kernel_size=1, padding=0, gamma=1.0, name="conv1")(out)
         out = act(out)
-        out = ScaledStdConv(out_chs=mid, kernel_size=3, stride=self.stride, padding=1, groups=groups, gamma=g, name="conv2")(out)
+        out = ScaledStdConv(out_chs=mid, kernel_size=3, stride=self.stride, padding=1, groups=groups, gamma=1.0, name="conv2")(out)
         out = act(out)
-        out = ScaledStdConv(out_chs=mid, kernel_size=3, padding=1, groups=groups, gamma=g, name="conv2b")(out)
+        out = ScaledStdConv(out_chs=mid, kernel_size=3, padding=1, groups=groups, gamma=1.0, name="conv2b")(out)
         out = act(out)
         out = ScaledStdConv(out_chs=self.out_chs, kernel_size=1, padding=0, gamma=1.0, name="conv3")(out)
         if self.attn_type:
@@ -108,13 +111,14 @@ class NFNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        act = activation_from_name(self.activation)
         gamma = ACTIVATION_GAMMA.get(self.activation, 1.7)
+        base_act = activation_from_name(self.activation)
+        act = lambda t: base_act(t) * gamma  # gamma-folded act (timm convention)
 
         # deep-quad stem: /4 spatial
         strides = (2, 1, 1, 2)
         for i, (chs, st) in enumerate(zip(self.stem_chs, strides)):
-            x = ScaledStdConv(out_chs=chs, kernel_size=3, stride=st, padding=1, gamma=gamma if i > 0 else 1.0, name=f"stem_conv{i}")(x)
+            x = ScaledStdConv(out_chs=chs, kernel_size=3, stride=st, padding=1, gamma=1.0, name=f"stem_conv{i}")(x)
             if i < len(self.stem_chs) - 1:
                 x = act(x)
 
@@ -147,7 +151,7 @@ class NFNet(nn.Module):
                 block_idx += 1
 
         final_chs = int(self.channels[-1] * self.final_mult)
-        x = ScaledStdConv(out_chs=final_chs, kernel_size=1, padding=0, gamma=gamma, name="final_conv")(x)
+        x = ScaledStdConv(out_chs=final_chs, kernel_size=1, padding=0, gamma=1.0, name="final_conv")(x)
         x = act(x)
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
