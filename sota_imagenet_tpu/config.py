@@ -98,6 +98,9 @@ class ValLoaderConfig(LoaderConfig):
 
     batch_size: int = 250
     full_crop: bool = False
+    # aspect-bucketed rectangular validation (closes the reference TODO,
+    # dali_dataloader.py:5): 3 static crop shapes + masked exact metrics
+    rectangular: bool = False
 
 
 @dataclass

@@ -153,3 +153,55 @@ def decode_val(src: Union[str, bytes], image_size: int, full_crop: bool = False,
     y = (nh - image_size) // 2
     img = img.crop((x, y, x + image_size, y + image_size))
     return np.asarray(img, dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------- #
+# Rectangular validation (closes the reference's TODO, dali_dataloader.py:5)
+# --------------------------------------------------------------------------- #
+
+
+def rect_buckets(image_size: int):
+    """Three static aspect buckets (h, w): tall / square / wide. The long side
+    is 4:3-ish rounded down to a multiple of 16; the aspect threshold is
+    chosen so the shorter-side resize always leaves enough pixels to crop the
+    long side (resize target ≈ 1.14*size ≥ long/threshold)."""
+    long = max(int(image_size * 4 / 3) // 8 * 8, image_size + 8)
+    thresh = max(1.2, long / val_resize_size(image_size) + 0.02)
+    return {
+        "tall": (long, image_size),
+        "square": (image_size, image_size),
+        "wide": (image_size, long),
+    }, thresh
+
+
+def bucket_of(width: int, height: int, thresh: float) -> str:
+    if width >= height * thresh:
+        return "wide"
+    if height >= width * thresh:
+        return "tall"
+    return "square"
+
+
+def decode_val_rect(src: Union[str, bytes], image_size: int, crop_hw) -> np.ndarray:
+    """Aspect-preserving validation decode: resize shorter side to the
+    reference target (dali_dataloader.py:147), center-crop to the bucket's
+    rectangular (h, w) — evaluates at near-native aspect instead of the
+    square crop's distortion/loss."""
+    ch, cw = crop_hw
+    img = _open(src)
+    w0, h0 = img.size
+    resize_shorter = val_resize_size(image_size)
+    if img.format == "JPEG":
+        scale = resize_shorter / min(w0, h0)
+        img.draft("RGB", (max(int(w0 * scale), 1), max(int(h0 * scale), 1)))
+        w0, h0 = img.size
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    scale = resize_shorter / min(w0, h0)
+    nw = max(int(round(w0 * scale)), cw)
+    nh = max(int(round(h0 * scale)), ch)
+    img = img.resize((nw, nh), TRIANGULAR)
+    x = (nw - cw) // 2
+    y = (nh - ch) // 2
+    img = img.crop((x, y, x + cw, y + ch))
+    return np.asarray(img, dtype=np.uint8)

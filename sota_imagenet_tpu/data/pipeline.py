@@ -219,6 +219,60 @@ class FolderLoader:
 # --------------------------------------------------------------------------- #
 
 
+class RectValLoader:
+    """Rectangular validation (closes the reference's TODO,
+    dali_dataloader.py:5): images are grouped by aspect ratio into THREE
+    static shapes (tall/square/wide center crops at near-native aspect), so
+    jit compiles exactly three eval graphs. Every image is evaluated exactly
+    once: the last batch of each bucket is zero-padded and carries a sample
+    mask the eval step uses for exact weighted metrics."""
+
+    def __init__(self, root: str, *, batch_size: int, image_size: int, workers: int = 6, **_):
+        from PIL import Image
+
+        self.files, self.labels, self.classes = scan_image_folder(root)
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.workers = max(workers, 1)
+        self.buckets, thresh = D.rect_buckets(image_size)
+        pi, pc = jax.process_index(), jax.process_count()
+        files, labels = self.files[pi::pc], self.labels[pi::pc]
+        self.by_bucket = {k: [] for k in self.buckets}
+        for f, lab in zip(files, labels):
+            with Image.open(f) as im:  # header-only read
+                w, h = im.size
+            self.by_bucket[D.bucket_of(w, h, thresh)].append((f, lab))
+
+    def __len__(self):
+        import math
+
+        return sum(math.ceil(len(v) / self.batch_size) for v in self.by_bucket.values() if v)
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        bs = self.batch_size
+        with ThreadPoolExecutor(self.workers) as pool:
+            for name, items in self.by_bucket.items():
+                if not items:
+                    continue
+                hw = self.buckets[name]
+                for i in range(0, len(items), bs):
+                    chunk = items[i : i + bs]
+                    imgs = list(pool.map(lambda it: D.decode_val_rect(it[0], self.image_size, hw), chunk))
+                    n = len(chunk)
+                    images = np.zeros((bs, hw[0], hw[1], 3), np.uint8)
+                    images[:n] = np.stack(imgs)
+                    labels = np.zeros((bs,), np.int64)
+                    labels[:n] = [it[1] for it in chunk]
+                    mask = np.zeros((bs,), np.float32)
+                    mask[:n] = 1.0
+                    yield images, labels, mask
+
+
 class DeviceFeed:
     """Wraps a host loader: device-side augment + sharded transfer + prefetch.
 
@@ -247,11 +301,14 @@ class DeviceFeed:
         sh = batch_sharding(self.mesh)
 
         def produce(item):
-            images_u8, labels = item
+            images_u8, labels = item[0], item[1]
             g_img = jax.make_array_from_process_local_data(sh, images_u8)
             g_lab = jax.make_array_from_process_local_data(sh, labels)
             self._step += 1
-            return self.augment(jax.random.fold_in(self.rng, self._step), g_img, g_lab)
+            batch = self.augment(jax.random.fold_in(self.rng, self._step), g_img, g_lab)
+            if len(item) > 2:  # rectangular val: per-sample validity mask
+                batch["mask"] = jax.make_array_from_process_local_data(sh, item[2])
+            return batch
 
         # background producer: host decode keeps running while the consumer
         # is busy (dispatching steps / evaluating) — the DALI worker-thread
@@ -320,6 +377,13 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             num_classes=loader_cfg.num_classes,
         )
     if backend == "folder":
+        if not is_train and loader_cfg.get("rectangular", False):
+            return RectValLoader(
+                os.path.join(root, "val"),
+                batch_size=loader_cfg.batch_size // max(jax.process_count(), 1),
+                image_size=loader_cfg.image_size,
+                workers=loader_cfg.get("workers", 6),
+            )
         return FolderLoader(
             os.path.join(root, "train" if is_train else "val"),
             is_train=is_train,

@@ -215,9 +215,20 @@ class Runner:
             dev_metrics.append(fn(self.state, batch))
         if not dev_metrics:
             return {}
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dev_metrics)
-        host = jax.device_get(jax.tree_util.tree_map(jnp.mean, stacked))
-        metrics = {k: float(v) for k, v in host.items()}
+        host_list = jax.device_get(dev_metrics)
+        if "_weight" in host_list[0]:
+            # rectangular val: batches have different real-sample counts (and
+            # different shapes — stacking impossible); weighted average
+            tot = sum(float(m["_weight"]) for m in host_list)
+            metrics = {
+                k: float(sum(float(m[k]) * float(m["_weight"]) for m in host_list) / max(tot, 1.0))
+                for k in host_list[0]
+                if k != "_weight"
+            }
+        else:
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *host_list)
+            host = jax.tree_util.tree_map(lambda x: jnp.mean(x), stacked)
+            metrics = {k: float(v) for k, v in host.items()}
         if not _internal:
             self.val_metrics = metrics
         return metrics

@@ -9,17 +9,19 @@ import jax
 import jax.numpy as jnp
 
 
-def accuracy_topk(logits: jnp.ndarray, target: jnp.ndarray, k: int = 1) -> jnp.ndarray:
+def accuracy_topk(logits: jnp.ndarray, target: jnp.ndarray, k: int = 1, mean: bool = True) -> jnp.ndarray:
     """Fraction of samples whose target class is in the top-k logits.
-    Soft/mixed targets reduce via argmax (reference Accuracy on one-hot)."""
+    Soft/mixed targets reduce via argmax (reference Accuracy on one-hot).
+    mean=False returns the per-sample 0/100 vector (masked rect-val path)."""
     labels = target if target.ndim == 1 else jnp.argmax(target, axis=-1)
     k = min(k, logits.shape[-1])  # Acc@5 on <5-class toy problems
     if k == 1:
-        pred = jnp.argmax(logits, axis=-1)
-        return jnp.mean((pred == labels).astype(jnp.float32)) * 100.0
-    _, topk = jax.lax.top_k(logits, k)
-    hit = jnp.any(topk == labels[:, None], axis=-1)
-    return jnp.mean(hit.astype(jnp.float32)) * 100.0
+        hit = jnp.argmax(logits, axis=-1) == labels
+    else:
+        _, topk = jax.lax.top_k(logits, k)
+        hit = jnp.any(topk == labels[:, None], axis=-1)
+    per_sample = hit.astype(jnp.float32) * 100.0
+    return jnp.mean(per_sample) if mean else per_sample
 
 
 def classification_metrics(logits: jnp.ndarray, target: jnp.ndarray, loss: jnp.ndarray) -> Dict[str, jnp.ndarray]:

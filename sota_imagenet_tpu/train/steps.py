@@ -295,6 +295,32 @@ def build_eval_step(
         if bs:
             variables["batch_stats"] = bs
         logits = model.apply(variables, batch["image"].astype(input_dtype), train=False)
+        if "mask" in batch:
+            # rectangular validation: padded samples are masked out; metrics
+            # are exact masked means, "_weight" carries the real sample count
+            # so Runner.evaluate can weight batches (last bucket batch is
+            # partial). Loss uses per-sample reduction when the criterion
+            # supports it.
+            mask = batch["mask"].astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(mask), 1.0)
+            from sota_imagenet_tpu.train.metrics import accuracy_topk
+
+            m = {
+                "Acc@1": jnp.sum(accuracy_topk(logits, batch["label"], 1, mean=False) * mask) / n,
+                "Acc@5": jnp.sum(accuracy_topk(logits, batch["label"], 5, mean=False) * mask) / n,
+            }
+            if hasattr(criterion, "reduction"):
+                import copy as _copy
+
+                crit_ns = _copy.copy(criterion)
+                crit_ns.reduction = "none"
+                per_sample, _ = call_criterion(crit_ns, logits, batch["label"], state.loss_state)
+                m["loss"] = jnp.sum(per_sample.astype(jnp.float32) * mask) / n
+            else:  # stateful/complex criteria: loss over the full batch incl. pads
+                loss, _ = call_criterion(criterion, logits, batch["label"], state.loss_state)
+                m["loss"] = loss.astype(jnp.float32)
+            m["_weight"] = n
+            return m
         loss, _ = call_criterion(criterion, logits, batch["label"], state.loss_state)
         return classification_metrics(logits, batch["label"], loss)
 

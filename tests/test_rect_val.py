@@ -1,0 +1,109 @@
+"""Rectangular validation: aspect bucketing covers every image exactly once,
+static shapes per bucket, and masked weighted metrics are EXACT (equal to
+evaluating each image individually)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from sota_imagenet_tpu.data.decode import bucket_of, decode_val_rect, rect_buckets
+from sota_imagenet_tpu.data.pipeline import DeviceFeed, RectValLoader
+from sota_imagenet_tpu.losses import CrossEntropyLoss
+from sota_imagenet_tpu.models.cmodel import CModel
+from sota_imagenet_tpu.ops.augment import build_val_augment
+from sota_imagenet_tpu.optim import build_optimizer
+from sota_imagenet_tpu.train.loop import Runner
+from sota_imagenet_tpu.train.schedule import phases_from_stages
+from sota_imagenet_tpu.config import parse_stages
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rectval")
+    rng = np.random.default_rng(0)
+    shapes = [(60, 100), (100, 60), (64, 64), (90, 70), (50, 120), (80, 80), (120, 50), (70, 90)] * 3
+    for c in range(2):
+        os.makedirs(root / f"class_{c}", exist_ok=True)
+    for i, (h, w) in enumerate(shapes):
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(root / f"class_{i % 2}" / f"{i:03d}.jpg", quality=95)
+    return str(root), len(shapes)
+
+
+def test_buckets_cover_all_images_once(corpus):
+    root, n = corpus
+    ld = RectValLoader(root, batch_size=8, image_size=32, workers=2)
+    buckets, thresh = rect_buckets(32)
+    seen = 0
+    shapes = set()
+    for images, labels, mask in ld:
+        assert images.shape[0] == 8
+        shapes.add(images.shape[1:3])
+        seen += int(mask.sum())
+    assert seen == n
+    assert shapes <= set(buckets.values())
+    assert len(shapes) >= 2  # corpus has tall+wide+square images
+
+
+def test_rect_crop_shape_and_content():
+    img = np.zeros((100, 60, 3), np.uint8)
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    buckets, thresh = rect_buckets(32)
+    assert bucket_of(60, 100, thresh) == "tall"
+    out = decode_val_rect(buf.getvalue(), 32, buckets["tall"])
+    assert out.shape == (*buckets["tall"], 3)
+
+
+def test_masked_eval_exact(mesh8, corpus):
+    root, n = corpus
+    model = CModel(
+        layer_config=[
+            {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [8, 2]},
+        ]
+    )
+    crit = CrossEntropyLoss(smoothing=0.1)
+    stages = parse_stages([dict(start=0, end=1, lr=[0.1, 0.1])])
+    runner = Runner(
+        model,
+        crit,
+        lambda sched: build_optimizer({"_target_": "sgd"}, sched),
+        lr_phases=phases_from_stages(stages),
+        input_dtype=jnp.float32,
+    )
+    runner.init_state((8, 32, 32, 3))
+
+    host = RectValLoader(root, batch_size=8, image_size=32, workers=2)
+    aug = build_val_augment(num_classes=2, out_dtype=jnp.float32)
+    feed = DeviceFeed(host, mesh8, aug)
+    got = runner.evaluate(feed)
+
+    # oracle: evaluate every image individually (batch of 1, no padding)
+    from sota_imagenet_tpu.data.decode import rect_buckets as rb
+    from sota_imagenet_tpu.train.metrics import accuracy_topk
+
+    buckets, thresh = rb(32)
+    accs1, accs5, losses = [], [], []
+    variables = {"params": runner.state.params}
+    if runner.state.batch_stats:
+        variables["batch_stats"] = runner.state.batch_stats
+    for name, items in host.by_bucket.items():
+        for f, lab in items:
+            img = decode_val_rect(f, 32, buckets[name]).astype(np.float32)
+            x = (jnp.asarray(img)[None] - 127.5) / 51.0
+            logits = model.apply(variables, x, train=False)
+            onehot = jax.nn.one_hot(jnp.asarray([lab]), 2)
+            losses.append(float(crit(logits, onehot)))
+            accs1.append(float(accuracy_topk(logits, onehot, 1)))
+            accs5.append(float(accuracy_topk(logits, onehot, 5)))
+    np.testing.assert_allclose(got["Acc@1"], np.mean(accs1), atol=1e-3)
+    np.testing.assert_allclose(got["Acc@5"], np.mean(accs5), atol=1e-3)
+    np.testing.assert_allclose(got["loss"], np.mean(losses), rtol=1e-4)
