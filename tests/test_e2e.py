@@ -123,3 +123,26 @@ def test_train_cli_with_ema(tmp_path):
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "Acc@1" in out.stdout
+
+
+def test_find_auto_resume_prefers_newest_and_skips_tmp(tmp_path):
+    """auto_resume picks the newest committed checkpoint, including staged
+    .new-*/.stale ones from a crash window, but never uncommitted orbax tmp
+    dirs (train/checkpoint.py crash-safety contract)."""
+    import os
+    import time as _time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from train import find_auto_resume
+
+    d = tmp_path / "2026-01-01_exp" / "10-00-00"
+    d.mkdir(parents=True)
+    names = ["model.ckpt", "model_best.ckpt", "model.ckpt.stale", "model.ckpt.new-3"]
+    for i, n in enumerate(names):
+        (d / n).mkdir()
+        os.utime(d / n, (1000 + i, 1000 + i))
+    (d / "model.ckpt.new-4.orbax-checkpoint-tmp-99").mkdir()
+    os.utime(d / "model.ckpt.new-4.orbax-checkpoint-tmp-99", (2000, 2000))
+    got = find_auto_resume(str(tmp_path), "exp")
+    assert got == str(d / "model.ckpt.new-3"), got
+    assert find_auto_resume(str(tmp_path), "otherexp") is None

@@ -42,3 +42,16 @@ def test_config_loads_and_builds(path):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     # optimizer init on real param tree
     tx.init(variables["params"])
+
+
+def test_reference_config_inventory_complete():
+    """Every reference hydra_exp YAML must exist here under the SAME filename
+    (VERDICT r1 #3: the reference's de-facto regression record). Skipped when
+    the reference tree isn't mounted."""
+    ref_dir = "/root/reference/configs/hydra_exp"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not available")
+    ref = {f for f in os.listdir(ref_dir) if f.endswith(".yaml")}
+    ours = set(os.listdir(os.path.join(CONFIG_DIR, "exp")))
+    missing = sorted(ref - ours)
+    assert not missing, f"unported reference configs: {missing}"

@@ -68,3 +68,31 @@ def test_mixup_blend():
         assert lam_vals.std() < 1e-3
         return
     raise AssertionError("no mixup seed found in 30 tries")
+
+
+def test_choice_prob_selects_cutmix_or_mixup():
+    """choice_prob=1.0 -> pure cutmix (pixels are exactly from one of the two
+    sources); 0.0 -> pure mixup (global blend). Backs the standalone
+    Cutmix/Mixup callbacks (reference pt_clb.Cutmix/Mixup)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sota_imagenet_tpu.train.steps import cutmix_mixup
+
+    rng = jax.random.PRNGKey(0)
+    images = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))])
+    labels = jnp.eye(2)
+    for trial in range(4):
+        k = jax.random.fold_in(rng, trial)
+        cut_img, cut_lab = cutmix_mixup(k, images, labels, prob=1.0, choice_prob=1.0)
+        a = np.asarray(cut_img)
+        # cutmix: every pixel exactly 0 or 1
+        assert np.all((np.abs(a) < 1e-6) | (np.abs(a - 1) < 1e-6)), trial
+        # label weight equals the pasted area fraction
+        area = np.mean(a[0, ..., 0])
+        np.testing.assert_allclose(float(cut_lab[0, 1]), area, atol=1e-5)
+
+        mix_img, _ = cutmix_mixup(k, images, labels, mixup_alpha=0.4, prob=1.0, choice_prob=0.0)
+        m = np.asarray(mix_img)
+        # mixup: spatially constant blend per sample
+        assert np.allclose(m[0], m[0, 0, 0], atol=1e-6), trial

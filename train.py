@@ -23,6 +23,27 @@ import jax
 import jax.numpy as jnp
 
 
+def find_auto_resume(log_dir: str, exp_name: str):
+    """Newest checkpoint for this experiment, for preemption recovery.
+
+    Also matches staged (.new-*) and displaced (.stale) checkpoints: a crash
+    between orbax's commit and the rename swap leaves the newest COMPLETE
+    checkpoint under one of those names (train/checkpoint.py); interrupted
+    (uncommitted) orbax tmp dirs are excluded."""
+    import glob as _glob
+
+    pat = os.path.join(log_dir, f"*_{exp_name}", "*", "model*.ckpt")
+    cands = sorted(
+        (
+            p
+            for p in _glob.glob(pat) + _glob.glob(pat + ".new-*") + _glob.glob(pat + ".stale")
+            if "orbax-checkpoint-tmp" not in p
+        ),
+        key=os.path.getmtime,
+    )
+    return cands[-1] if cands else None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="sota_imagenet_tpu trainer")
     parser.add_argument("--config", "-c", default=None, help="experiment YAML")
@@ -166,14 +187,9 @@ def main(argv=None):
 
     start_epoch = cfg.run.start_epoch
     if cfg.run.auto_resume and not cfg.run.resume:
-        import glob as _glob
-
-        cands = sorted(
-            _glob.glob(os.path.join(cfg.log.dir, f"*_{cfg.log.exp_name}", "*", "model*.ckpt")),
-            key=os.path.getmtime,
-        )
-        if cands:
-            cfg.run.resume = cands[-1]
+        found = find_auto_resume(cfg.log.dir, cfg.log.exp_name)
+        if found:
+            cfg.run.resume = found
             log.info(f"auto_resume: found {cfg.run.resume}")
     if cfg.run.resume:
         runner.state, ckpt_epoch = load_checkpoint(cfg.run.resume, runner.state)
