@@ -50,6 +50,9 @@ def cutmix_mixup(
     callbacks.py:232-247; 50/50 choice). choice_prob = P(cutmix | applied):
     1.0 gives the standalone pt_clb.Cutmix, 0.0 the standalone Mixup.
     Labels must be soft/one-hot."""
+    # YAML integers (prob: 1) must not reach bernoulli/beta as int dtypes
+    cutmix_alpha, mixup_alpha = float(cutmix_alpha), float(mixup_alpha)
+    prob, choice_prob = float(prob), float(choice_prob)
     k_apply, k_choice, k_lam_m, k_lam_c, k_box = jax.random.split(rng, 5)
     b, h, w, _ = images.shape
     perm_images = images[::-1]

@@ -55,3 +55,52 @@ def test_reference_config_inventory_complete():
     ours = set(os.listdir(os.path.join(CONFIG_DIR, "exp")))
     missing = sorted(ref - ours)
     assert not missing, f"unported reference configs: {missing}"
+
+
+TRAIN_STEP_CONFIGS = [
+    "1.r50_baseline.yaml",
+    "6.bnet_no_dim_red.yaml",
+    "15.eca_nfnet_l0.yaml",
+    "24.nf_conv-act.yaml",
+    "32.nf_conv-act_sam.yaml",
+    "43.nf_conv-act_stage3-GN.yaml",
+    "62.vgg-cmodel.yaml",
+    "66.conv-mix_original.yaml",
+    "74.non-deep_s_fat.yaml",
+    "80_1.non-deeps_ufo-0.5_no-res.yaml",
+    "84.non-deeps_xca.yaml",
+]
+
+
+@pytest.mark.parametrize("name", TRAIN_STEP_CONFIGS)
+def test_representative_config_trains_one_step(name):
+    """One REAL jitted train step (fwd+bwd+update, incl. the config's
+    callbacks: SAM, WeightNorm, ortho losses, cutmix) per model family — init
+    + eval forward alone misses train-path bugs (dropout rngs, DropPath,
+    VarEMA state, SAM double grad)."""
+    from sota_imagenet_tpu.train.loop import Runner
+    from sota_imagenet_tpu.train.schedule import phases_from_stages
+
+    cfg = C.load(os.path.join(CONFIG_DIR, "exp", name), strict_env=False)
+    model = instantiate(cfg.model)
+    criterion = instantiate(cfg.criterion)
+    callbacks = [instantiate(c) for c in (cfg.run.extra_callbacks or [])]
+    stages = parse_stages([dict(start=0, end=1, lr=[0.01, 0.01])])
+    runner = Runner(
+        model,
+        criterion,
+        lambda sched: build_optimizer(dict(cfg.optim), sched),
+        lr_phases=phases_from_stages(stages),
+        input_dtype=jnp.float32,
+        callbacks=[c for c in callbacks if hasattr(c, "step_options")],
+    )
+    runner.init_state((4, 32, 32, 3))
+    from sota_imagenet_tpu.data.pipeline import DeviceFeed, SyntheticLoader
+    from sota_imagenet_tpu.ops.augment import build_train_augment
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    host = SyntheticLoader(batch_size=8, image_size=32, num_classes=cfg.loader.num_classes, length=1)
+    feed = DeviceFeed(host, mesh, build_train_augment(num_classes=cfg.loader.num_classes, out_dtype=jnp.float32))
+    train_m, _ = runner.fit(feed, None, epochs=1, start_epoch=0)
+    assert np.isfinite(train_m["loss"]), train_m
