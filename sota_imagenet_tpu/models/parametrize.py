@@ -25,6 +25,16 @@ def _is_conv_kernel(path, leaf) -> bool:
     return leaf.ndim == 4 and "kernel" in name
 
 
+def _is_ungrouped_conv_kernel(path, leaf) -> bool:
+    """Conv kernel that is NOT depthwise. The reference ForwardWeightNorm only
+    parametrizes ``nn.Conv2d`` with ``groups == 1`` (callbacks.py:75-78); in a
+    flax HWIO kernel (kh, kw, in/groups, out) a depthwise conv has
+    ``shape[2] == 1``, which is the grouping signal visible from the params
+    pytree (grouped-but-not-depthwise convs are indistinguishable here and do
+    not occur in the zoo's WS configs)."""
+    return _is_conv_kernel(path, leaf) and leaf.shape[2] > 1
+
+
 def _map_kernels(params, fn: Callable[[jnp.ndarray], jnp.ndarray], predicate=_is_conv_kernel):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = [fn(leaf) if predicate(path, leaf) else leaf for path, leaf in flat]
@@ -68,14 +78,95 @@ def spectral_normalize(w: jnp.ndarray, n_iters: int = 5, eps: float = 1e-12) -> 
 
 def weight_standardization_fn(gamma: Optional[float] = None) -> Callable:
     """Params transform for ForwardWeightNorm / the `weight_standardization`
-    config flag (reference conv_to_ws_conv, train.py:66-67)."""
+    config flag (reference conv_to_ws_conv, train.py:66-67). Depthwise convs
+    are skipped like the reference's ``groups == 1`` filter."""
     if gamma is None:
-        return lambda params: _map_kernels(params, zero_mean_conv_weight)
-    return lambda params: _map_kernels(params, lambda w: normalize_conv_weight(w, gamma))
+        return lambda params: _map_kernels(params, zero_mean_conv_weight, _is_ungrouped_conv_kernel)
+    return lambda params: _map_kernels(params, lambda w: normalize_conv_weight(w, gamma), _is_ungrouped_conv_kernel)
 
 
 def spectral_norm_fn(n_iters: int = 5) -> Callable:
     return lambda params: _map_kernels(params, lambda w: spectral_normalize(w, n_iters))
+
+
+# --------------------------------------------------------------------------- #
+# Stateful spectral norm (torch-parity: persistent u/v power-iteration state)
+# --------------------------------------------------------------------------- #
+
+SPECTRAL_STATE_KEY = "__spectral_norm__"
+
+
+def _path_name(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+class SpectralNormParametrization:
+    """torch.nn.utils.parametrizations.spectral_norm semantics (the reference
+    ForwardSpectralNorm, callbacks.py:87-101): a PERSISTENT ``u``/``v`` pair
+    per conv kernel, ``n_iters`` power iterations per *training* forward
+    (torch default 1), u/v treated as constants by autodiff, and eval reusing
+    the stored vectors without iterating. The state rides in the
+    ``batch_stats`` collection under ``SPECTRAL_STATE_KEY`` — like torch
+    buffers ride the state_dict — so it is checkpointed, EMA'd, and threaded
+    through the jitted step with no special cases."""
+
+    stateful = True
+
+    def __init__(self, n_iters: int = 1, eps: float = 1e-12):
+        self.n_iters = n_iters
+        self.eps = eps
+
+    def _kernels(self, params):
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        return [(p, leaf) for p, leaf in flat if _is_conv_kernel(p, leaf)]
+
+    def _power_iter(self, mat, u, n):
+        """mat is (fan_in, out) = W_tᵀ of torch's (out, fan_in) weight_mat.
+        v = normalize(mat @ u) ∈ R^fan_in; u = normalize(matᵀ @ v) ∈ R^out."""
+        for _ in range(n):
+            v = mat @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
+            u = mat.T @ v
+            u = u / jnp.maximum(jnp.linalg.norm(u), self.eps)
+        return u, v
+
+    def init_state(self, params):
+        """Seeded-normal u + 15 power iterations, matching torch's
+        _SpectralNorm.__init__ warm start."""
+        import zlib
+
+        state = {}
+        for path, w in self._kernels(params):
+            name = _path_name(path)
+            mat = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+            key = jax.random.PRNGKey(zlib.crc32(name.encode()) & 0x7FFFFFFF)
+            u = jax.random.normal(key, (mat.shape[1],), jnp.float32)
+            u = u / jnp.maximum(jnp.linalg.norm(u), self.eps)
+            u, v = self._power_iter(mat, u, 15)
+            state[name] = {"u": u, "v": v}
+        return state
+
+    def __call__(self, params, state, update: bool):
+        new_state = dict(state)
+
+        def transform(path, w):
+            name = _path_name(path)
+            entry = state[name]
+            u, v = entry["u"], entry["v"]
+            mat = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+            if update:
+                u, v = self._power_iter(jax.lax.stop_gradient(mat), u, self.n_iters)
+                new_state[name] = {"u": u, "v": v}
+            # sigma differentiates through w only; u/v are constants (torch
+            # computes sigma = u · (W_t v) with buffer u/v under no_grad)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            sigma = u @ (mat.T @ v)
+            return (w.astype(jnp.float32) / jnp.maximum(sigma, self.eps)).astype(w.dtype)
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        out = [transform(p, leaf) if _is_conv_kernel(p, leaf) else leaf for p, leaf in flat]
+        return jax.tree_util.tree_unflatten(treedef, out), new_state
 
 
 def backward_weight_norm(params) -> Any:
@@ -97,19 +188,52 @@ def backward_weight_norm(params) -> Any:
 
 
 class ParametrizedModel:
-    """Wrap a linen module with a params transform active in train AND eval."""
+    """Wrap a linen module with a params transform active in train AND eval.
+
+    Stateless transforms are plain ``params -> params`` callables. A transform
+    with ``stateful = True`` (e.g. :class:`SpectralNormParametrization`) also
+    carries per-kernel state in ``batch_stats[SPECTRAL_STATE_KEY]``: ``init``
+    seeds it, ``apply`` pops it before the inner module sees the collection,
+    updates it on training forwards, and splices the new state into the
+    mutated ``batch_stats`` returned to the train step."""
 
     def __init__(self, model, param_fn: Callable):
         self._model = model
         self._param_fn = param_fn
+        self._stateful = bool(getattr(param_fn, "stateful", False))
 
     def init(self, *args, **kwargs):
-        return self._model.init(*args, **kwargs)
+        variables = self._model.init(*args, **kwargs)
+        if self._stateful:
+            variables = dict(variables)
+            bs = dict(variables.get("batch_stats", {}))
+            bs[SPECTRAL_STATE_KEY] = self._param_fn.init_state(variables["params"])
+            variables["batch_stats"] = bs
+        return variables
 
     def apply(self, variables, *args, **kwargs):
         variables = dict(variables)
-        variables["params"] = self._param_fn(variables["params"])
-        return self._model.apply(variables, *args, **kwargs)
+        if not self._stateful:
+            variables["params"] = self._param_fn(variables["params"])
+            return self._model.apply(variables, *args, **kwargs)
+
+        bs = dict(variables.get("batch_stats", {}))
+        state = bs.pop(SPECTRAL_STATE_KEY, None)
+        if state is None:
+            state = self._param_fn.init_state(variables["params"])
+        update = bool(kwargs.get("train", False))
+        new_params, new_state = self._param_fn(variables["params"], state, update)
+        variables["params"] = new_params
+        variables["batch_stats"] = bs
+        out = self._model.apply(variables, *args, **kwargs)
+        if kwargs.get("mutable"):
+            y, updated = out
+            updated = dict(updated)
+            ubs = dict(updated.get("batch_stats", {}))
+            ubs[SPECTRAL_STATE_KEY] = new_state
+            updated["batch_stats"] = ubs
+            return y, updated
+        return out
 
     def __getattr__(self, name):
         return getattr(self._model, name)

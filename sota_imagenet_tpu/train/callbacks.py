@@ -122,21 +122,38 @@ class SAMOriginal(Callback):
     """ASAM à la SamsungLabs (reference callbacks.py:279-337) as a second grad
     inside the jitted step."""
 
-    def __init__(self, rho: float = 0.5, eta: float = 0.01):
+    def __init__(self, rho: float = 0.5, eta: float = 0.01, bn_from_perturbed: bool = True):
         self.rho, self.eta = rho, eta
+        self.bn_from_perturbed = bn_from_perturbed
 
     def step_options(self):
-        return {"sam": {"kind": "sam_original", "rho": self.rho, "eta": self.eta}}
+        return {
+            "sam": {
+                "kind": "sam_original",
+                "rho": self.rho,
+                "eta": self.eta,
+                "bn_from_perturbed": self.bn_from_perturbed,
+            }
+        }
 
 
 class SAM(Callback):
-    """Layer-wise / unit-wise SAM (reference callbacks.py:339-419)."""
+    """Layer-wise / unit-wise SAM (reference callbacks.py:339-419).
+    bn_from_perturbed=True matches the reference (its perturbed forward also
+    updates BN running stats); False keeps stats from the clean pass."""
 
-    def __init__(self, unitwise: bool = False, rho: float = 0.01):
+    def __init__(self, unitwise: bool = False, rho: float = 0.01, bn_from_perturbed: bool = True):
         self.unitwise, self.rho = unitwise, rho
+        self.bn_from_perturbed = bn_from_perturbed
 
     def step_options(self):
-        return {"sam": {"kind": "asam_unitwise" if self.unitwise else "asam", "rho": self.rho}}
+        return {
+            "sam": {
+                "kind": "asam_unitwise" if self.unitwise else "asam",
+                "rho": self.rho,
+                "bn_from_perturbed": self.bn_from_perturbed,
+            }
+        }
 
 
 class ForwardWeightNorm(Callback):
@@ -157,15 +174,20 @@ class ForwardWeightNorm(Callback):
 
 
 class ForwardSpectralNorm(Callback):
-    """Spectral-norm parametrization for all convs (reference callbacks.py:87-101)."""
+    """Spectral-norm parametrization for all convs (reference
+    callbacks.py:87-101). torch-parity semantics: a persistent u/v pair per
+    kernel (warm-started with 15 power iterations like torch's _SpectralNorm
+    init), n_iters power iterations per training forward (torch default 1),
+    eval reuses the stored vectors. The u/v state lives in batch_stats so it
+    is checkpointed and EMA'd like torch buffers."""
 
-    def __init__(self, n_iters: int = 5):
+    def __init__(self, n_iters: int = 1):
         self.n_iters = n_iters
 
     def step_options(self):
-        from sota_imagenet_tpu.models.parametrize import spectral_norm_fn
+        from sota_imagenet_tpu.models.parametrize import SpectralNormParametrization
 
-        return {"parametrization": spectral_norm_fn(self.n_iters)}
+        return {"parametrization": SpectralNormParametrization(self.n_iters)}
 
 
 class WeightNorm(Callback):
@@ -212,7 +234,12 @@ def _iter_matrices(params):
 class OrthoLossClb(Callback):
     """Kernel (type 1) or convolutional (type 2) orthogonality loss added to
     the criterion (reference OrthoLoss/OrthoLoss2 + OrthoLossClb,
-    callbacks.py:126-203)."""
+    callbacks.py:126-203).
+
+    Note on type 2 and strided convs: the reference's skip condition
+    ``m.stride == 2`` (callbacks.py:170) compares a TUPLE to an int — always
+    False — so no conv is actually skipped there. Applying the loss to every
+    eligible conv kernel here matches the reference's actual behavior."""
 
     def __init__(self, weight: float = 0.01, type: int = 1, eps: float = 1e-2, min_filters: int = 384, min_norm: float = 1.0, **_):
         self.weight = weight

@@ -78,8 +78,11 @@ class Runner:
         return opts
 
     def init_state(self, input_shape, rng=None):
+        # init through the parametrized wrapper so stateful parametrizations
+        # (spectral-norm u/v) seed their batch_stats entry from the start —
+        # the TrainState pytree structure must not change after step 1
         self.state = steps_lib.init_state(
-            self.model,
+            self._effective_model(self._collect_step_options()),
             self.tx,
             input_shape,
             rng if rng is not None else self.rng,

@@ -240,12 +240,17 @@ def build_train_step(
             labels_for_metrics = labels
 
         if sam:
-            # second grad at the perturbed point; BN stats from the FIRST pass
-            # are kept (the reference's perturbed forward also updates BN — we
-            # deliberately use the clean pass; document in tests)
+            # second grad at the perturbed point. Reference semantics
+            # (callbacks.py:313-317): the perturbed forward ALSO updates BN
+            # running stats, on top of the clean pass's update — matched here
+            # by default (bn_from_perturbed=True). Set it False for the
+            # arguably-more-correct clean-pass-only stats.
             eps = sam_perturb(state.params, grads)
             p_pert = jax.tree_util.tree_map(jnp.add, state.params, eps)
-            (_, _), grads = grad_fn(p_pert, state.batch_stats, state.loss_state, images, labels, k_drop2)
+            if sam.get("bn_from_perturbed", True):
+                (_, (new_bs, _, _)), grads = grad_fn(p_pert, new_bs, state.loss_state, images, labels, k_drop2)
+            else:
+                (_, _), grads = grad_fn(p_pert, state.batch_stats, state.loss_state, images, labels, k_drop2)
 
         if grad_transform is not None:  # e.g. AGC (reference AdaptiveGradientClipping)
             grads = grad_transform(grads, state.params)

@@ -154,6 +154,58 @@ def test_sam_step_runs(mesh8):
     assert np.isfinite(train_m["loss"])
 
 
+def test_sam_bn_semantics(mesh8):
+    """Reference SAM's perturbed forward ALSO updates BN running stats
+    (callbacks.py:313-317) — bn_from_perturbed=True (default) matches that;
+    False keeps the clean pass's stats (== the no-SAM update exactly)."""
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd"}, sched)
+    model = tiny_model()
+    crit = CrossEntropyLoss()
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.normal(rng, (8, 16, 16, 3)) * 2.0,
+        "label": jax.nn.one_hot(jax.random.randint(rng, (8,), 0, 10), 10),
+    }
+
+    def run(sam):
+        s0 = steps_lib.init_state(model, tx, (2, 16, 16, 3), rng)
+        step = steps_lib.build_train_step(model, crit, tx, sched, sam=sam, input_dtype=jnp.float32)
+        s1, _ = step(s0, batch, rng)
+        return s1.batch_stats
+
+    bs_ref = run({"kind": "asam", "rho": 0.05, "bn_from_perturbed": True})
+    bs_clean = run({"kind": "asam", "rho": 0.05, "bn_from_perturbed": False})
+    bs_nosam = run(None)
+    # clean mode == the single-forward update
+    for a, b in zip(jax.tree_util.tree_leaves(bs_clean), jax.tree_util.tree_leaves(bs_nosam)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # reference mode applied a second update on top
+    diffs = [
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(bs_ref), jax.tree_util.tree_leaves(bs_nosam))
+    ]
+    assert any(diffs)
+
+
+def test_spectral_norm_end_to_end(mesh8):
+    """ForwardSpectralNorm: persistent u/v state initializes into TrainState,
+    advances during fit, and eval runs with it."""
+    from sota_imagenet_tpu.models.parametrize import SPECTRAL_STATE_KEY
+    from sota_imagenet_tpu.train.callbacks import ForwardSpectralNorm
+
+    runner = make_runner(mesh8, callbacks=[ForwardSpectralNorm()])
+    runner.init_state((2, 16, 16, 3))
+    assert SPECTRAL_STATE_KEY in runner.state.batch_stats
+    u0 = np.asarray(next(iter(runner.state.batch_stats[SPECTRAL_STATE_KEY].values()))["u"])
+    feed = make_feed(mesh8, n=2)
+    val = make_feed(mesh8, n=1, train=False)
+    train_m, val_m = runner.fit(feed, val, epochs=1, start_epoch=0)
+    assert np.isfinite(train_m["loss"]) and "Acc@1" in val_m
+    u1 = np.asarray(next(iter(runner.state.batch_stats[SPECTRAL_STATE_KEY].values()))["u"])
+    assert not np.allclose(u0, u1)
+
+
 def test_checkpoint_roundtrip(tmp_path, mesh8):
     from sota_imagenet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
