@@ -13,8 +13,12 @@ Prints one JSON line per model; results are recorded in PERF.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +87,22 @@ def main(names):
 
         return vgg16_bn(dtype=jnp.bfloat16), {"_target_": "sgd", "momentum": 0.9, "weight_decay": 3e-5}, 64, 224
 
-    table = {"resnet50": r50, "bresnet50": bresnet, "eca_nfnet_l0": nfnet, "vgg16_bn": vgg}
+    def vgg_cmodel():
+        """The reference's 37.7M CModel VGG (62.vgg-cmodel.yaml, 75.458% top-1
+        in 41h17m) built from the ported config."""
+        from sota_imagenet_tpu import config as C
+        from sota_imagenet_tpu.config import instantiate
+
+        cfg = C.load(os.path.join(ROOT, "configs", "exp", "62.vgg-cmodel.yaml"), strict_env=False)
+        return instantiate(cfg.model), {"_target_": "sgd", "momentum": 0.9, "weight_decay": 1e-4}, 64, 224
+
+    table = {
+        "resnet50": r50,
+        "bresnet50": bresnet,
+        "eca_nfnet_l0": nfnet,
+        "vgg16_bn": vgg,
+        "vgg_cmodel": vgg_cmodel,
+    }
     for name in names or list(table):
         model, optim_cfg, bs, size = table[name]()
         try:

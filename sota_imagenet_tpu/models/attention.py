@@ -158,7 +158,7 @@ class UFO(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, **_):
         if self.prenorm:
-            x = nn.LayerNorm(use_bias=False, use_scale=True, name="prenorm")(x)
+            x = nn.LayerNorm(use_bias=False, use_scale=True, dtype=x.dtype, name="prenorm")(x)
         b, h, w, c = x.shape
         out_dim = self.out_dim or c
         hd, cp = self.num_heads, c // self.num_heads

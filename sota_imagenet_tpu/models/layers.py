@@ -317,6 +317,10 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, **_):
+        # compute dtype follows the activations (bf16 under run.bf16) unless
+        # pinned — otherwise flax promotes bf16 x with fp32 params to an fp32
+        # conv, silently running config-built models at fp32 MXU rate. The
+        # reference's AMP autocast likewise runs convs in half precision.
         return nn.Conv(
             features=self.out_chs,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -324,7 +328,7 @@ class Conv(nn.Module):
             padding=_torch_padding(self.kernel_size, self.padding),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
-            dtype=self.dtype,
+            dtype=self.dtype or x.dtype,
             param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
         )(x)
@@ -470,10 +474,11 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x, **_):
+        # follow activation dtype (see Conv) — AMP runs Linear in half too
         return nn.Dense(
             features=self.out_features,
             use_bias=self.use_bias,
-            dtype=self.dtype,
+            dtype=self.dtype or x.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.lecun_normal(),
         )(x)

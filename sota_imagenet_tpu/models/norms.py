@@ -99,13 +99,16 @@ class BatchNorm(nn.Module):
             )(x, use_running_average=not train)
         # default: flax's BatchNorm (benched marginally faster than _BNCore
         # on TPU — 2632-2656 vs 2595 img/s r50 steps; same tree layout)
+        # output dtype follows the activations (stats still accumulate in
+        # fp32 inside flax); dtype=None would promote bf16 x to an fp32
+        # output, dragging every downstream op to fp32 — see layers.Conv
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,
             epsilon=self.eps,
             use_scale=self.use_scale,
             use_bias=self.use_bias,
-            dtype=self.dtype,
+            dtype=self.dtype or x.dtype,
             param_dtype=jnp.float32,
         )(x)
 
@@ -127,7 +130,7 @@ class ABN(nn.Module):
             use_running_average=(not train) or self.frozen,
             momentum=1.0 - self.momentum,
             epsilon=self.eps,
-            dtype=self.dtype,
+            dtype=self.dtype or x.dtype,
             param_dtype=jnp.float32,
         )(x)
         return activation_from_name(self.activation)(x)
@@ -140,7 +143,9 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, **_):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype or x.dtype, param_dtype=jnp.float32
+        )(x)
 
 
 class ScaleNorm(nn.Module):

@@ -248,7 +248,9 @@ def build_train_step(
             eps = sam_perturb(state.params, grads)
             p_pert = jax.tree_util.tree_map(jnp.add, state.params, eps)
             if sam.get("bn_from_perturbed", True):
-                (_, (new_bs, _, _)), grads = grad_fn(p_pert, new_bs, state.loss_state, images, labels, k_drop2)
+                # stateful criteria (AdaCos) likewise advance twice per step
+                # in the reference (criterion re-called, callbacks.py:315)
+                (_, (new_bs, new_ls, _)), grads = grad_fn(p_pert, new_bs, new_ls, images, labels, k_drop2)
             else:
                 (_, _), grads = grad_fn(p_pert, state.batch_stats, state.loss_state, images, labels, k_drop2)
 

@@ -188,6 +188,44 @@ def test_sam_bn_semantics(mesh8):
     assert any(diffs)
 
 
+def test_sam_stateful_loss_advances_twice(mesh8):
+    """With bn_from_perturbed=True the stateful criterion (AdaCos) is called
+    on BOTH forwards like the reference (callbacks.py:315), so its running
+    state after one step differs from the clean-pass-only mode."""
+    from sota_imagenet_tpu.losses.angular import AdaCos
+
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd"}, sched)
+    model = tiny_model()
+    crit = AdaCos(momentum=0.5)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.normal(rng, (8, 16, 16, 3)),
+        "label": jax.nn.one_hot(jax.random.randint(rng, (8,), 0, 10), 10),
+    }
+
+    def run(bn_from_perturbed):
+        s0 = steps_lib.init_state(model, tx, (2, 16, 16, 3), rng, criterion=crit)
+        step = steps_lib.build_train_step(
+            model,
+            crit,
+            tx,
+            sched,
+            sam={"kind": "asam", "rho": 0.5, "bn_from_perturbed": bn_from_perturbed},
+            input_dtype=jnp.float32,
+        )
+        s1, _ = step(s0, batch, rng)
+        return s1.loss_state
+
+    ls_ref = run(True)
+    ls_clean = run(False)
+    leaves_differ = [
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(ls_ref), jax.tree_util.tree_leaves(ls_clean))
+    ]
+    assert any(leaves_differ)
+
+
 def test_spectral_norm_end_to_end(mesh8):
     """ForwardSpectralNorm: persistent u/v state initializes into TrainState,
     advances during fit, and eval runs with it."""
