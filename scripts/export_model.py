@@ -1,0 +1,73 @@
+"""Export a trained checkpoint as a serving artifact (StableHLO + params).
+
+Usage:
+  python scripts/export_model.py -c configs/r50_baseline.yaml \
+      --ckpt logs/.../model_last.ckpt --out /tmp/r50_serve \
+      [--ema] [--batch 8 | --batch poly] [--image-size 224]
+
+The artifact is loadable WITHOUT this repo's model code:
+  from sota_imagenet_tpu.utils.export import load_exported
+  serve, meta = load_exported(out_dir); logits = serve(images_u8_nhwc)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin ignores the env var (CLAUDE.md); force it
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ema", action="store_true", help="export the EMA weights")
+    ap.add_argument("--batch", default="poly", help="fixed batch size or 'poly' (symbolic)")
+    ap.add_argument("--image-size", type=int, default=None)
+    args = ap.parse_args()
+
+    from sota_imagenet_tpu import config as C
+    from sota_imagenet_tpu.config import instantiate
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.train import steps as steps_lib
+    from sota_imagenet_tpu.train.checkpoint import load_checkpoint
+    from sota_imagenet_tpu.utils.export import export_inference
+
+    cfg = C.load(args.config, strict_env=False)
+    model = instantiate(cfg.model)
+    # val size follows the train size (DataManager convention, reference
+    # dali_dataloader.py:227-228)
+    size = args.image_size or cfg.loader.image_size
+    input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
+
+    tx = build_optimizer(dict(cfg.optim), 0.1)
+    state = steps_lib.init_state(
+        model, tx, (2, size, size, 3), jax.random.PRNGKey(0),
+        ema_decay=cfg.run.ema_decay, input_dtype=input_dtype,
+        criterion=instantiate(cfg.criterion),
+    )
+    state, epoch = load_checkpoint(args.ckpt, state)
+    params = state.ema_params if (args.ema and state.ema_params is not None) else state.params
+    bstats = state.ema_batch_stats if (args.ema and state.ema_batch_stats is not None) else state.batch_stats
+    variables = {"params": params}
+    if bstats:
+        variables["batch_stats"] = bstats
+
+    bs = None if args.batch == "poly" else int(args.batch)
+    out = export_inference(model, variables, args.out, image_size=size, batch_size=bs, input_dtype=input_dtype)
+    print(f"exported epoch-{epoch} weights -> {out} (batch={'symbolic' if bs is None else bs}, size={size})")
+
+
+if __name__ == "__main__":
+    main()

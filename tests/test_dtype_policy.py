@@ -109,6 +109,23 @@ def test_module_preserves_bf16(name):
         assert leaf.dtype == jnp.float32
 
 
+def test_cli_instantiated_models_run_bf16():
+    """Models built WITHOUT an explicit dtype= (exactly how train.py
+    instantiates them from configs) must still compute in bf16 when fed bf16
+    activations — the regression that had CLI runs silently training at fp32
+    rate. Checks the intermediate-activation dtype histogram."""
+    from sota_imagenet_tpu.models import resnet18
+
+    m = resnet18()
+    x = jnp.zeros((1, 32, 32, 3), jnp.bfloat16)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    _, st = m.apply(v, x, train=False, capture_intermediates=True, mutable=["intermediates"])
+    leaves = [l for l in jax.tree_util.tree_leaves(st["intermediates"]) if hasattr(l, "dtype")]
+    n_bf16 = sum(l.dtype == jnp.bfloat16 for l in leaves)
+    # everything except the fp32 head (GAP + logits island) is bf16
+    assert n_bf16 >= len(leaves) - 2, f"{n_bf16}/{len(leaves)} intermediates bf16"
+
+
 def test_registry_fully_covered():
     """Every registered module is either probed here or consciously skipped."""
     known = set(ARGS) | set(WIDE) | set(FLAT) | SKIP

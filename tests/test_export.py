@@ -1,0 +1,52 @@
+"""Inference-export roundtrip: serialize -> deserialize -> same logits,
+without the model code in the loop (serving story; no reference analog —
+the reference is training-only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sota_imagenet_tpu.models.cmodel import CModel
+from sota_imagenet_tpu.utils.export import export_inference, load_exported, make_serve_fn
+
+
+def tiny():
+    return CModel(
+        layer_config=[
+            {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+            {"module": "BatchNorm2d", "args": [8]},
+            {"module": "ReLU"},
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [8, 10]},
+        ]
+    )
+
+
+def test_export_roundtrip_fixed_batch(tmp_path):
+    model = tiny()
+    x8 = jnp.zeros((4, 16, 16, 3), jnp.uint8)
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, jnp.zeros((4, 16, 16, 3)), train=False)
+    out = export_inference(
+        model, variables, str(tmp_path / "art"), image_size=16, batch_size=4,
+        input_dtype=jnp.float32, platforms=("cpu",),
+    )
+    serve, meta = load_exported(out)
+    imgs = np.random.default_rng(0).integers(0, 256, (4, 16, 16, 3), np.uint8)
+    got = np.asarray(serve(jnp.asarray(imgs)))
+    want = np.asarray(make_serve_fn(model, jnp.float32)(variables, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert meta["image_size"] == 16
+
+
+def test_export_symbolic_batch(tmp_path):
+    """One artifact serves ANY batch size (symbolic batch dim)."""
+    model = tiny()
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, jnp.zeros((2, 16, 16, 3)), train=False)
+    out = export_inference(
+        model, variables, str(tmp_path / "art"), image_size=16, batch_size=None,
+        input_dtype=jnp.float32, platforms=("cpu",),
+    )
+    serve, _ = load_exported(out)
+    for bs in (1, 3, 7):
+        imgs = jnp.zeros((bs, 16, 16, 3), jnp.uint8)
+        assert serve(imgs).shape == (bs, 10)
