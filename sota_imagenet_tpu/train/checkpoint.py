@@ -114,13 +114,30 @@ def load_checkpoint(path: str, state_template: TrainState) -> Tuple[TrainState, 
         payload = ckptr.restore(path, target=template)
         return payload["state"], int(payload["epoch"])
     except Exception as e:  # optimizer changed — partial restore
-        get_logger().info(f"Full checkpoint restore failed ({type(e).__name__}); retrying params-only")
         raw = ocp.PyTreeCheckpointer().restore(path)
+        if raw["state"].get("opt_state") is None:
+            # expected: saved with log.save_optim=false (reference default —
+            # "makes it 2x larger"), so there is no optimizer state on disk
+            get_logger().info("Checkpoint has no optimizer state (log.save_optim=false); restoring params/batch_stats")
+        else:
+            get_logger().info(f"Full checkpoint restore failed ({type(e).__name__}); retrying params-only")
         st = state_template
+
+        def _restore_field(name):
+            """Best-effort per field: take the on-disk value when present and
+            structure-compatible (EMA copies, loss_state, step — everything
+            except the mismatching optimizer state)."""
+            tmpl = getattr(st, name)
+            disk = raw["state"].get(name)
+            if disk is None or tmpl is None:
+                return tmpl
+            try:
+                return jax.tree_util.tree_map(lambda t, v: np.asarray(v, np.asarray(t).dtype), tmpl, disk)
+            except Exception:
+                get_logger().info(f"Partial restore: field {name!r} structure mismatch; keeping fresh value")
+                return tmpl
+
         st = st.replace(
-            params=jax.tree_util.tree_map(lambda t, v: np.asarray(v, t.dtype), st.params, raw["state"]["params"]),
-            batch_stats=jax.tree_util.tree_map(
-                lambda t, v: np.asarray(v, t.dtype), st.batch_stats, raw["state"]["batch_stats"]
-            ),
+            **{f: _restore_field(f) for f in ("step", "params", "batch_stats", "ema_params", "ema_batch_stats", "loss_state")}
         )
         return st, int(raw.get("epoch", 0))

@@ -254,3 +254,32 @@ def test_checkpoint_roundtrip(tmp_path, mesh8):
     assert epoch == 3
     for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_partial_restore_keeps_ema(tmp_path, mesh8):
+    """A checkpoint saved WITHOUT optimizer state (log.save_optim=false, the
+    reference default) must still restore params, batch_stats, EMA copies and
+    the step counter — only the optimizer state starts fresh."""
+    from sota_imagenet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    runner = make_runner(mesh8, ema_decay=0.5)
+    state = runner.init_state((2, 16, 16, 3))
+    feed = make_feed(mesh8, n=2)
+    runner.fit(feed, None, epochs=1, start_epoch=0)  # EMA now differs from init
+    trained = runner.state
+    stripped = trained.replace(opt_state=None)  # CheckpointSaver include_optimizer=False
+    path = save_checkpoint(str(tmp_path), stripped, epoch=1)
+
+    template = make_runner(mesh8, ema_decay=0.5).init_state((2, 16, 16, 3))
+    restored, epoch = load_checkpoint(path, template)
+    assert epoch == 1
+    assert int(restored.step) == int(trained.step)
+    for name in ("params", "batch_stats", "ema_params", "ema_batch_stats"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(trained, name)), jax.tree_util.tree_leaves(getattr(restored, name))
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # EMA is the trained average, not a fresh copy of the template's params
+    t0 = jax.tree_util.tree_leaves(template.ema_params)[0]
+    r0 = jax.tree_util.tree_leaves(restored.ema_params)[0]
+    assert not np.allclose(np.asarray(t0), np.asarray(r0))
