@@ -64,6 +64,38 @@ def bench_one(name: str, model, optim_cfg: dict, bs: int, size: int, iters: int 
     return out
 
 
+def bench_eval(name: str, model, bs: int, size: int, iters: int = 30) -> dict:
+    """Forward-only (serving/eval) throughput at the reference val batch."""
+    from sota_imagenet_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+
+    mesh = create_mesh()
+    n_chips = jax.device_count()
+    gbs = bs * n_chips
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, jnp.zeros((2, size, size, 3), jnp.bfloat16), train=False
+    )
+    variables = jax.device_put(variables, replicate(mesh))
+    images = jax.device_put(jax.random.normal(rng, (gbs, size, size, 3), jnp.bfloat16), batch_sharding(mesh))
+
+    @jax.jit
+    def fwd(variables, images):
+        return jnp.argmax(model.apply(variables, images, train=False), axis=-1)
+
+    for _ in range(3):
+        pred = fwd(variables, images)
+    jax.device_get(pred[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred = fwd(variables, images)
+    jax.device_get(pred[0])
+    dt = time.perf_counter() - t0
+    rate = gbs * iters / dt / n_chips
+    out = {"model": name, "mode": "eval", "img_per_sec_per_chip": round(rate, 1), "bs_per_chip": bs, "size": size}
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main(names):
     from sota_imagenet_tpu.models import resnet50  # noqa: F401  (import check)
 
@@ -103,10 +135,15 @@ def main(names):
         "vgg16_bn": vgg,
         "vgg_cmodel": vgg_cmodel,
     }
+    eval_mode = "--eval" in names
+    names = [n for n in names if n != "--eval"]
     for name in names or list(table):
         model, optim_cfg, bs, size = table[name]()
         try:
-            bench_one(name, model, optim_cfg, bs, size)
+            if eval_mode:
+                bench_eval(name, model, 250, size)  # reference val batch 250
+            else:
+                bench_one(name, model, optim_cfg, bs, size)
         except Exception as e:  # keep going; report the failure
             print(json.dumps({"model": name, "error": repr(e)}), flush=True)
 
