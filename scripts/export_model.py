@@ -42,13 +42,26 @@ def main():
     from sota_imagenet_tpu.optim import build_optimizer
     from sota_imagenet_tpu.train import steps as steps_lib
     from sota_imagenet_tpu.train.checkpoint import load_checkpoint
-    from sota_imagenet_tpu.utils.export import export_inference
+    from sota_imagenet_tpu.utils.export import export_inference, resolve_final_image_size
 
     cfg = C.load(args.config, strict_env=False)
     model = instantiate(cfg.model)
-    # val size follows the train size (DataManager convention, reference
-    # dali_dataloader.py:227-228)
-    size = args.image_size or cfg.loader.image_size
+    # the EFFECTIVE model: forward parametrizations are part of the trained
+    # function (weights on disk are the RAW kernels), so the export must wrap
+    # exactly like train.py/Runner do — otherwise WS/spectral checkpoints
+    # would serve un-normalized kernels
+    from sota_imagenet_tpu.models.parametrize import ParametrizedModel, weight_standardization_fn
+
+    if cfg.weight_standardization:
+        model = ParametrizedModel(model, weight_standardization_fn(cfg.init_gamma))
+    for clb_cfg in cfg.run.extra_callbacks or []:
+        clb = instantiate(clb_cfg)
+        fn = (clb.step_options() if hasattr(clb, "step_options") else {}).get("parametrization")
+        if fn is not None:
+            model = ParametrizedModel(model, fn)
+    # val size follows the FINAL stage's train size (DataManager convention,
+    # reference dali_dataloader.py:227-228)
+    size = args.image_size or resolve_final_image_size(cfg)
     input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
 
     tx = build_optimizer(dict(cfg.optim), 0.1)

@@ -30,9 +30,21 @@ wait "$PID" 2>/dev/null
 echo "killed pid $PID; last lines:"
 tail -5 /tmp/soak_p1.log
 
+if ! compgen -G "$LOGDIR/*/*/model*.ckpt" > /dev/null; then
+  echo "SOAK FAILED: phase 1 never produced a checkpoint (nothing to resume)"
+  exit 1
+fi
+
 echo "== phase 2: auto_resume =="
 python train.py -c configs/tpu_soak.yaml log.dir="$LOGDIR" run.auto_resume=true > /tmp/soak_p2.log 2>&1
 RC=$?
 tail -15 /tmp/soak_p2.log
 echo "exit code: $RC"
-grep -q "Total time" /tmp/soak_p2.log && echo "SOAK OK: resumed run completed" || echo "SOAK FAILED"
+# OK requires BOTH: the resume actually loaded a checkpoint AND the resumed
+# run completed — completion alone would pass a from-scratch phase 2
+if grep -q "Loaded checkpoint" /tmp/soak_p2.log && grep -q "Total time" /tmp/soak_p2.log; then
+  echo "SOAK OK: resumed from checkpoint and completed"
+else
+  echo "SOAK FAILED"
+  exit 1
+fi

@@ -159,8 +159,8 @@ class SAM(Callback):
 class ForwardWeightNorm(Callback):
     """Turn convs into WS convs via a forward parametrization (reference
     callbacks.py:62-84). use_std=True requires gamma (scaled WS); False does
-    zero-mean only. Applies to all conv kernels (the reference also skips
-    depthwise convs — acceptable difference, grouped convs are rare here)."""
+    zero-mean only. Depthwise kernels (shape[2]==1) are skipped, matching the
+    reference's ``groups == 1`` filter."""
 
     def __init__(self, gamma: Optional[float] = None, use_std: bool = False):
         if use_std and gamma is None:

@@ -123,10 +123,17 @@ def load_checkpoint(path: str, state_template: TrainState) -> Tuple[TrainState, 
             get_logger().info(f"Full checkpoint restore failed ({type(e).__name__}); retrying params-only")
         st = state_template
 
-        def _restore_field(name):
-            """Best-effort per field: take the on-disk value when present and
-            structure-compatible (EMA copies, loss_state, step — everything
-            except the mismatching optimizer state)."""
+        def _restore_field(name, required):
+            """Take the on-disk value when present. params/batch_stats are
+            REQUIRED: a structure mismatch there means the checkpoint is for a
+            different model and must fail loudly, not resume at epoch N with
+            random weights. EMA copies / loss_state are best-effort.
+
+            `step` is NOT restored here on purpose: the fresh optimizer
+            state's schedule count restarts at 0, and the Runner anchors the
+            lr schedule with base_step=state.step — step and count must stay
+            consistent or the APPLIED lr silently replays from the wrong
+            point (the resumed epoch is carried by base_epoch instead)."""
             tmpl = getattr(st, name)
             disk = raw["state"].get(name)
             if disk is None or tmpl is None:
@@ -134,10 +141,16 @@ def load_checkpoint(path: str, state_template: TrainState) -> Tuple[TrainState, 
             try:
                 return jax.tree_util.tree_map(lambda t, v: np.asarray(v, np.asarray(t).dtype), tmpl, disk)
             except Exception:
+                if required:
+                    raise
                 get_logger().info(f"Partial restore: field {name!r} structure mismatch; keeping fresh value")
                 return tmpl
 
         st = st.replace(
-            **{f: _restore_field(f) for f in ("step", "params", "batch_stats", "ema_params", "ema_batch_stats", "loss_state")}
+            params=_restore_field("params", required=True),
+            batch_stats=_restore_field("batch_stats", required=True),
+            ema_params=_restore_field("ema_params", required=False),
+            ema_batch_stats=_restore_field("ema_batch_stats", required=False),
+            loss_state=_restore_field("loss_state", required=False),
         )
         return st, int(raw.get("epoch", 0))

@@ -211,33 +211,38 @@ def build_train_step(
         if mixup_fn is not None:
             images, labels = mixup_fn(k_mix, images, labels)
 
-        if accumulate_steps > 1:
-            mb = images.shape[0] // accumulate_steps
-            im_mb = images[: mb * accumulate_steps].reshape(accumulate_steps, mb, *images.shape[1:])
-            lb_mb = labels[: mb * accumulate_steps].reshape(accumulate_steps, mb, *labels.shape[1:])
+        def batch_grads(params, bs0, ls0, key):
+            """Mean loss/grads over the batch — the SAME microbatch scan for
+            the clean AND the SAM-perturbed pass, so gradient accumulation
+            keeps its memory bound on the second forward/backward too."""
+            if accumulate_steps > 1:
+                mb = images.shape[0] // accumulate_steps
+                im_mb = images[: mb * accumulate_steps].reshape(accumulate_steps, mb, *images.shape[1:])
+                lb_mb = labels[: mb * accumulate_steps].reshape(accumulate_steps, mb, *labels.shape[1:])
 
-            def scan_body(carry, xs):
-                bs, ls, gsum, lsum = carry
-                im, lb, i = xs
-                (loss, (bs, ls, logits)), grads = grad_fn(state.params, bs, ls, im, lb, jax.random.fold_in(k_drop, i))
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
-                return (bs, ls, gsum, lsum + loss), logits
+                def scan_body(carry, xs):
+                    bs, ls, gsum, lsum = carry
+                    im, lb, i = xs
+                    (loss, (bs, ls, logits)), grads = grad_fn(params, bs, ls, im, lb, jax.random.fold_in(key, i))
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                    return (bs, ls, gsum, lsum + loss), logits
 
-            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (new_bs, new_ls, grads, loss_sum), logits_all = jax.lax.scan(
-                scan_body,
-                (state.batch_stats, state.loss_state, zero_g, 0.0),
-                (im_mb, lb_mb, jnp.arange(accumulate_steps)),
-            )
-            grads = jax.tree_util.tree_map(lambda g: g / accumulate_steps, grads)
-            loss = loss_sum / accumulate_steps
-            logits = logits_all.reshape(-1, logits_all.shape[-1])
-            labels_for_metrics = lb_mb.reshape(-1, lb_mb.shape[-1]) if labels.ndim > 1 else labels
-        else:
-            (loss, (new_bs, new_ls, logits)), grads = grad_fn(
-                state.params, state.batch_stats, state.loss_state, images, labels, k_drop
-            )
-            labels_for_metrics = labels
+                zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (bs, ls, grads, loss_sum), logits_all = jax.lax.scan(
+                    scan_body,
+                    (bs0, ls0, zero_g, 0.0),
+                    (im_mb, lb_mb, jnp.arange(accumulate_steps)),
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accumulate_steps, grads)
+                logits = logits_all.reshape(-1, logits_all.shape[-1])
+                lbm = lb_mb.reshape(-1, lb_mb.shape[-1]) if labels.ndim > 1 else labels
+                return loss_sum / accumulate_steps, bs, ls, grads, logits, lbm
+            (loss, (bs, ls, logits)), grads = grad_fn(params, bs0, ls0, images, labels, key)
+            return loss, bs, ls, grads, logits, labels
+
+        loss, new_bs, new_ls, grads, logits, labels_for_metrics = batch_grads(
+            state.params, state.batch_stats, state.loss_state, k_drop
+        )
 
         if sam:
             # second grad at the perturbed point. Reference semantics
@@ -250,9 +255,9 @@ def build_train_step(
             if sam.get("bn_from_perturbed", True):
                 # stateful criteria (AdaCos) likewise advance twice per step
                 # in the reference (criterion re-called, callbacks.py:315)
-                (_, (new_bs, new_ls, _)), grads = grad_fn(p_pert, new_bs, new_ls, images, labels, k_drop2)
+                _, new_bs, new_ls, grads, _, _ = batch_grads(p_pert, new_bs, new_ls, k_drop2)
             else:
-                (_, _), grads = grad_fn(p_pert, state.batch_stats, state.loss_state, images, labels, k_drop2)
+                _, _, _, grads, _, _ = batch_grads(p_pert, state.batch_stats, state.loss_state, k_drop2)
 
         if grad_transform is not None:  # e.g. AGC (reference AdaptiveGradientClipping)
             grads = grad_transform(grads, state.params)

@@ -30,25 +30,38 @@ import numpy as np
 from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
-    return out
+def _save_tree(path: str, tree) -> None:
+    """npz with enumerated array keys + a JSON path table — robust to dict
+    keys that themselves contain '/' (e.g. the spectral-norm state's
+    'conv/kernel' entries), which a separator-joined flat format is not."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    paths = [[str(getattr(k, "key", k)) for k in p] for p, _ in flat]
+    arrays = {f"a{i}": np.asarray(v) for i, (_, v) in enumerate(flat)}
+    np.savez(path, __paths__=json.dumps(paths), **arrays)
 
 
-def _unflatten(flat):
-    tree = {}
-    for path, arr in flat.items():
-        parts = path.split("/")
+def _load_tree(path: str):
+    z = np.load(path, allow_pickle=False)
+    paths = json.loads(str(z["__paths__"]))
+    tree: dict = {}
+    for i, parts in enumerate(paths):
         node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(arr)
+        for q in parts[:-1]:
+            node = node.setdefault(q, {})
+        node[parts[-1]] = jnp.asarray(z[f"a{i}"])
     return tree
+
+
+def resolve_final_image_size(cfg) -> int:
+    """The size the FINAL training stage runs (and therefore validates) at:
+    loader.image_size overridden by each stage's extra_args in order
+    (DataManager semantics; val follows train, dali_dataloader.py:228)."""
+    size = cfg.loader.image_size
+    for stage in cfg.run.stages or []:
+        extra = dict(stage.get("extra_args") or {}) if hasattr(stage, "get") else dict(getattr(stage, "extra_args", None) or {})
+        if "image_size" in extra:
+            size = int(extra["image_size"])
+    return int(size)
 
 
 def make_serve_fn(model, input_dtype=jnp.bfloat16):
@@ -91,7 +104,7 @@ def export_inference(
     blob = exported.serialize()
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
-    np.savez(os.path.join(out_dir, "params.npz"), **_flatten(variables))
+    _save_tree(os.path.join(out_dir, "params.npz"), variables)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
             {
@@ -113,8 +126,7 @@ def load_exported(out_dir: str):
 
     with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
         exported = jexport.deserialize(f.read())
-    flat = dict(np.load(os.path.join(out_dir, "params.npz")))
-    variables = _unflatten(flat)
+    variables = _load_tree(os.path.join(out_dir, "params.npz"))
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
 

@@ -38,6 +38,38 @@ def test_export_roundtrip_fixed_batch(tmp_path):
     assert meta["image_size"] == 16
 
 
+def test_export_spectral_parametrized_roundtrip(tmp_path):
+    """A spectral-norm-parametrized model exports and serves correctly: the
+    u/v state's slash-containing keys ('conv/kernel') survive the params
+    bundle, and the served logits equal the wrapped model's."""
+    from sota_imagenet_tpu.models.parametrize import ParametrizedModel, SpectralNormParametrization
+
+    wrapped = ParametrizedModel(tiny(), SpectralNormParametrization())
+    x = jnp.zeros((2, 16, 16, 3))
+    variables = wrapped.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    out = export_inference(
+        wrapped, variables, str(tmp_path / "art"), image_size=16, batch_size=2,
+        input_dtype=jnp.float32, platforms=("cpu",),
+    )
+    serve, _ = load_exported(out)
+    imgs = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 16, 16, 3), np.uint8))
+    got = np.asarray(serve(imgs))
+    want = np.asarray(make_serve_fn(wrapped, jnp.float32)(variables, imgs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_final_image_size():
+    """Export must bake the FINAL progressive-resize stage's size, not the
+    first stage's."""
+    from sota_imagenet_tpu import config as C
+    from sota_imagenet_tpu.utils.export import resolve_final_image_size
+    import os
+
+    cfg = C.load(os.path.join(os.path.dirname(__file__), "..", "configs", "tpu_soak.yaml"), strict_env=False)
+    assert cfg.loader.image_size == 160
+    assert resolve_final_image_size(cfg) == 224
+
+
 def test_export_symbolic_batch(tmp_path):
     """One artifact serves ANY batch size (symbolic batch dim)."""
     model = tiny()

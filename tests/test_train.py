@@ -154,6 +154,37 @@ def test_sam_step_runs(mesh8):
     assert np.isfinite(train_m["loss"])
 
 
+def test_sam_with_accumulation_microbatches_second_pass(mesh8):
+    """The SAM perturbed pass must go through the same microbatch scan as the
+    clean pass (memory bound!). For a BN-free linear model, accumulated SAM
+    grads equal full-batch SAM grads, so one step must produce identical
+    params."""
+    sched = lambda s: jnp.asarray(0.5, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd"}, sched)
+    model = CModel(
+        layer_config=[
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [3, 10]},
+        ]
+    )
+    crit = CrossEntropyLoss()
+    sam = {"kind": "asam", "rho": 0.05}
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (16, 8, 8, 3))
+    labels = jax.nn.one_hot(jax.random.randint(rng, (16,), 0, 10), 10)
+    batch = {"image": images, "label": labels}
+
+    def run(acc):
+        step = steps_lib.build_train_step(model, crit, tx, sched, accumulate_steps=acc, sam=sam, input_dtype=jnp.float32)
+        s0 = steps_lib.init_state(model, tx, (2, 8, 8, 3), rng)
+        s1, _ = step(s0, batch, rng)
+        return s1.params
+
+    p1, p4 = run(1), run(4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_sam_bn_semantics(mesh8):
     """Reference SAM's perturbed forward ALSO updates BN running stats
     (callbacks.py:313-317) — bn_from_perturbed=True (default) matches that;
@@ -273,7 +304,10 @@ def test_checkpoint_partial_restore_keeps_ema(tmp_path, mesh8):
     template = make_runner(mesh8, ema_decay=0.5).init_state((2, 16, 16, 3))
     restored, epoch = load_checkpoint(path, template)
     assert epoch == 1
-    assert int(restored.step) == int(trained.step)
+    # step must stay at the template's 0: the fresh optimizer's schedule
+    # count restarts at 0 and the Runner anchors lr with base_step=state.step
+    # — restoring step without opt_state would desync the APPLIED lr
+    assert int(restored.step) == 0
     for name in ("params", "batch_stats", "ema_params", "ema_batch_stats"):
         for a, b in zip(
             jax.tree_util.tree_leaves(getattr(trained, name)), jax.tree_util.tree_leaves(getattr(restored, name))
@@ -283,3 +317,28 @@ def test_checkpoint_partial_restore_keeps_ema(tmp_path, mesh8):
     t0 = jax.tree_util.tree_leaves(template.ema_params)[0]
     r0 = jax.tree_util.tree_leaves(restored.ema_params)[0]
     assert not np.allclose(np.asarray(t0), np.asarray(r0))
+
+
+def test_checkpoint_wrong_model_fails_loudly(tmp_path, mesh8):
+    """Restoring a checkpoint into a DIFFERENT model's template must raise,
+    not 'resume' at epoch N with fresh random weights."""
+    import pytest as _pytest
+
+    from sota_imagenet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    runner = make_runner(mesh8)
+    state = runner.init_state((2, 16, 16, 3))
+    path = save_checkpoint(str(tmp_path), state.replace(opt_state=None), epoch=2)
+
+    other_model = CModel(
+        layer_config=[
+            {"module": "conv3x3", "args": [3, 4]},
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [4, 10]},
+        ]
+    )
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd"}, sched)
+    template = steps_lib.init_state(other_model, tx, (2, 16, 16, 3), jax.random.PRNGKey(0))
+    with _pytest.raises(Exception):
+        load_checkpoint(path, template)
