@@ -1,5 +1,5 @@
 # reference Makefile had `format` (black -l 120) and `build` targets
-.PHONY: format test bench native
+.PHONY: format test bench bench-models bench-eval soak sweep native
 
 format:
 	black -l 120 sota_imagenet_tpu tests train.py bench.py || true
@@ -9,6 +9,18 @@ test:
 
 bench:
 	python bench.py
+
+bench-models:      # per-family train-step throughput (real chip)
+	python scripts/bench_models.py
+
+bench-eval:        # forward-only serving throughput (real chip)
+	python scripts/bench_models.py --eval
+
+soak:              # crash + auto-resume drive (real chip)
+	bash scripts/tpu_soak.sh
+
+sweep:             # one real train step per config family (real chip)
+	python scripts/tpu_config_sweep.py
 
 native:
 	$(MAKE) -C native
