@@ -65,7 +65,7 @@ def generate_corpus(root: str) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--epochs", type=int, default=30)  # 15 tops out ~73%; 30 reaches 100%
     ap.add_argument("--keep", action="store_true", help="keep the corpus/run dir")
     ap.add_argument("--threshold", type=float, default=90.0)
     args = ap.parse_args()
