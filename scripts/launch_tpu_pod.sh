@@ -36,7 +36,9 @@ if [[ "$CONFIG" == "--status" ]]; then
     exit 0
 fi
 if [[ "$CONFIG" == "--stop" ]]; then
-    "${SSH[@]}" "pkill -f 'python train.py' || true"
+    # kill by the recorded pid (process-group kill: setsid made it a leader),
+    # not by pattern — pattern kills can match unrelated processes
+    "${SSH[@]}" "[[ -f $REMOTE_DIR/train.pid ]] && kill -- -\$(cat $REMOTE_DIR/train.pid) || true"
     exit 0
 fi
 
@@ -47,16 +49,29 @@ echo ">> syncing $REPO_ROOT to all workers of $TPU_NAME"
 TMP_TAR=$(mktemp /tmp/sota_tpu_XXXX.tar.gz)
 tar -C "$REPO_ROOT" --exclude logs --exclude .git --exclude '__pycache__' -czf "$TMP_TAR" .
 gcloud compute tpus tpu-vm scp "$TMP_TAR" "$TPU_NAME":/tmp/sota_tpu.tar.gz --zone "$ZONE" --worker=all
-"${SSH[@]}" "mkdir -p $REMOTE_DIR && tar -xzf /tmp/sota_tpu.tar.gz -C $REMOTE_DIR"
+# extract into a FRESH tree and swap: extracting over the old tree would keep
+# deleted/renamed files around (stale configs silently runnable)
+"${SSH[@]}" "rm -rf $REMOTE_DIR.new && mkdir -p $REMOTE_DIR.new \
+  && tar -xzf /tmp/sota_tpu.tar.gz -C $REMOTE_DIR.new \
+  && rm -rf $REMOTE_DIR.old \
+  && { [[ -d $REMOTE_DIR ]] && mv $REMOTE_DIR $REMOTE_DIR.old || true; } \
+  && mv $REMOTE_DIR.new $REMOTE_DIR"
 rm -f "$TMP_TAR"
 
-echo ">> launching on all workers: $CONFIG $*"
+# shell-quote every override so spaces/braces/quotes survive the remote bash
+# (hydra-style dict overrides like 'optim={_target_: sgd}' re-split otherwise)
+OVERRIDES=""
+for arg in "$@"; do
+    OVERRIDES+=" $(printf '%q' "$arg")"
+done
+
+echo ">> launching on all workers: $CONFIG$OVERRIDES"
 # nohup + setsid: survive the ssh session; one process per host, all local
 # chips addressed by JAX; auto_resume makes relaunch-after-preemption a no-op
 # decision for the operator (just run this script again).
 "${SSH[@]}" "cd $REMOTE_DIR && \
   setsid nohup env IMAGENET_DIR=\${IMAGENET_DIR:-/data/imagenet} \
-  python train.py -c $CONFIG run.auto_resume=true $* \
-  > train.out 2>&1 < /dev/null &"
+  python train.py -c $(printf '%q' "$CONFIG") run.auto_resume=true$OVERRIDES \
+  > train.out 2>&1 < /dev/null & echo \$! > train.pid"
 
 echo ">> launched. follow with: TPU_NAME=$TPU_NAME ZONE=$ZONE $0 --status"

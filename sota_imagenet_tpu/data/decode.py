@@ -162,10 +162,10 @@ def decode_val(src: Union[str, bytes], image_size: int, full_crop: bool = False,
 
 def rect_buckets(image_size: int):
     """Three static aspect buckets (h, w): tall / square / wide. The long side
-    is 4:3-ish rounded down to a multiple of 16; the aspect threshold is
-    chosen so the shorter-side resize always leaves enough pixels to crop the
-    long side (resize target ≈ 1.14*size ≥ long/threshold)."""
-    long = max(int(image_size * 4 / 3) // 8 * 8, image_size + 8)
+    is 4:3-ish rounded down to a multiple of 8 (TPU sublane alignment); the
+    aspect threshold is chosen so the shorter-side resize always leaves enough
+    pixels to crop the long side (resize target ≈ 1.14*size ≥ long/thresh)."""
+    long = max(int(image_size * 4 / 3) // 8 * 8, (image_size + 8) // 8 * 8)
     thresh = max(1.2, long / val_resize_size(image_size) + 0.02)
     return {
         "tall": (long, image_size),

@@ -227,7 +227,14 @@ class RectValLoader:
     once: the last batch of each bucket is zero-padded and carries a sample
     mask the eval step uses for exact weighted metrics."""
 
+    # file -> (w, h) header cache, shared across stage rebuilds (the bucket
+    # THRESHOLDS depend on image_size, but the image dimensions do not)
+    _WH_CACHE: Dict[str, Tuple[int, int]] = {}
+
     def __init__(self, root: str, *, batch_size: int, image_size: int, workers: int = 6, **_):
+        import math
+        from concurrent.futures import ThreadPoolExecutor
+
         from PIL import Image
 
         self.files, self.labels, self.classes = scan_image_folder(root)
@@ -235,18 +242,36 @@ class RectValLoader:
         self.image_size = image_size
         self.workers = max(workers, 1)
         self.buckets, thresh = D.rect_buckets(image_size)
-        pi, pc = jax.process_index(), jax.process_count()
-        files, labels = self.files[pi::pc], self.labels[pi::pc]
+        # bucket the FULL (sorted) file list identically on every process:
+        # per-process bucketing of a shard would give processes different
+        # batch counts and shape sequences, breaking the collective global
+        # batch assembly on pods. Header reads are parallel + cached.
+        missing = [f for f in self.files if f not in RectValLoader._WH_CACHE]
+        if missing:
+
+            def read_wh(path):
+                with Image.open(path) as im:  # header-only read
+                    return im.size
+
+            with ThreadPoolExecutor(self.workers) as pool:
+                for f, wh in zip(missing, pool.map(read_wh, missing)):
+                    RectValLoader._WH_CACHE[f] = wh
         self.by_bucket = {k: [] for k in self.buckets}
-        for f, lab in zip(files, labels):
-            with Image.open(f) as im:  # header-only read
-                w, h = im.size
+        for f, lab in zip(self.files, self.labels):
+            w, h = RectValLoader._WH_CACHE[f]
             self.by_bucket[D.bucket_of(w, h, thresh)].append((f, lab))
+        # each process takes an interleaved shard of every bucket, padded to a
+        # globally-identical batch count (trailing batches may be all-padding
+        # on some processes; the sample mask keeps the metrics exact)
+        pi, pc = jax.process_index(), jax.process_count()
+        self.my_bucket = {k: items[pi::pc] for k, items in self.by_bucket.items()}
+        self.batches_per_bucket = {
+            k: math.ceil(math.ceil(len(items) / pc) / batch_size) if items else 0
+            for k, items in self.by_bucket.items()
+        }
 
     def __len__(self):
-        import math
-
-        return sum(math.ceil(len(v) / self.batch_size) for v in self.by_bucket.values() if v)
+        return sum(self.batches_per_bucket.values())
 
     def set_epoch(self, epoch: int) -> None:
         pass
@@ -256,16 +281,15 @@ class RectValLoader:
 
         bs = self.batch_size
         with ThreadPoolExecutor(self.workers) as pool:
-            for name, items in self.by_bucket.items():
-                if not items:
-                    continue
-                hw = self.buckets[name]
-                for i in range(0, len(items), bs):
-                    chunk = items[i : i + bs]
+            for name, hw in self.buckets.items():
+                items = self.my_bucket[name]
+                for i in range(self.batches_per_bucket[name]):
+                    chunk = items[i * bs : (i + 1) * bs]
                     imgs = list(pool.map(lambda it: D.decode_val_rect(it[0], self.image_size, hw), chunk))
                     n = len(chunk)
                     images = np.zeros((bs, hw[0], hw[1], 3), np.uint8)
-                    images[:n] = np.stack(imgs)
+                    if n:
+                        images[:n] = np.stack(imgs)
                     labels = np.zeros((bs,), np.int64)
                     labels[:n] = [it[1] for it in chunk]
                     mask = np.zeros((bs,), np.float32)

@@ -167,6 +167,11 @@ class Bottleneck(nn.Module):
         dt = self.dtype
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_chs = self.planes * self.expansion
+        if self.fused_stats and self.bn_subsample > 1:
+            # Conv1x1BNStats computes full-resolution stats; combining it with
+            # stats subsampling would silently give a hybrid neither flag
+            # promises
+            raise ValueError("fused_stats is incompatible with bn_subsample > 1")
         if self.fused_stats and self.groups == 1:
             out = Conv1x1BNStats(
                 out_chs=width, momentum=self.bn_momentum, activation=self.norm_act, dtype=dt, name="fconv1"

@@ -50,9 +50,9 @@ LANES = 128
 N_BASE_SCALARS = 12
 
 
-def _u8_round(x):
-    """DALI materializes uint8 between ops: saturate + round half-to-even."""
-    return jnp.clip(jnp.round(x), 0.0, 255.0)
+# the single source of the DALI uint8-staging convention — the kernel and the
+# XLA path must round identically or the parity tests drift
+from sota_imagenet_tpu.ops.augment import _u8_round  # noqa: E402
 
 
 def _make_kernel(h, w, rows, color_twist_prob, gray_prob, re_prob, re_count, out_dtype):

@@ -62,7 +62,15 @@ def _conv1x1_stats_fwd_impl(x2d: jnp.ndarray, w: jnp.ndarray, interpret: bool = 
         bm = 128
         pad_m = (-m) % bm
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
-    bn = n if n <= 512 else 512
+    # largest divisor of n that is <= 512 and lane-aligned (n itself for
+    # small widths); avoids crashing on widths like 768 that 512 doesn't
+    # divide (e.g. base_width=96 bottlenecks)
+    if n <= 512:
+        bn = n
+    else:
+        bn = next((c for c in (512, 384, 256, 128) if n % c == 0), 0)
+        if bn == 0:
+            raise ValueError(f"conv1x1_stats: no 128-aligned tile divides n={n}")
     assert n % bn == 0, (n, bn)
     nm, nn = (m + pad_m) // bm, n // bn
 

@@ -330,6 +330,8 @@ def build_eval_step(
                 crit_ns = _copy.copy(criterion)
                 crit_ns.reduction = "none"
                 per_sample, _ = call_criterion(crit_ns, logits, batch["label"], state.loss_state)
+                if per_sample.ndim > 1:  # e.g. BinaryKLDiv 'none' is (B, C)
+                    per_sample = jnp.mean(per_sample, axis=tuple(range(1, per_sample.ndim)))
                 m["loss"] = jnp.sum(per_sample.astype(jnp.float32) * mask) / n
             else:  # stateful/complex criteria: loss over the full batch incl. pads
                 loss, _ = call_criterion(criterion, logits, batch["label"], state.loss_state)

@@ -49,6 +49,32 @@ def test_buckets_cover_all_images_once(corpus):
     assert len(shapes) >= 2  # corpus has tall+wide+square images
 
 
+def test_rect_sharding_consistent_across_processes(corpus, monkeypatch):
+    """Multi-host invariant: every process must see the SAME number of batches
+    per bucket and the same shape sequence (bucketing is computed on the
+    global file list, shards are padded to the max shard's batch count) —
+    otherwise the collective global-batch assembly diverges on pods. Also:
+    every image appears exactly once across all shards."""
+    root, n = corpus
+    loaders = []
+    for pi in range(3):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        loaders.append(RectValLoader(root, batch_size=4, image_size=32, workers=2))
+    monkeypatch.undo()
+    counts = [ld.batches_per_bucket for ld in loaders]
+    assert counts[0] == counts[1] == counts[2]
+    assert len(loaders[0]) == len(loaders[1]) == len(loaders[2])
+    shape_seqs = []
+    seen_files = []
+    for ld in loaders:
+        shape_seqs.append([(name, i) for name in ld.buckets for i in range(ld.batches_per_bucket[name])])
+        for items in ld.my_bucket.values():
+            seen_files.extend(f for f, _ in items)
+    assert shape_seqs[0] == shape_seqs[1] == shape_seqs[2]
+    assert sorted(seen_files) == sorted(loaders[0].files)
+
+
 def test_rect_crop_shape_and_content():
     img = np.zeros((100, 60, 3), np.uint8)
     import io
