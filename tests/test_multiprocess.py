@@ -134,6 +134,57 @@ CKPT_WORKER = textwrap.dedent(
 )
 
 
+RECT_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+    )
+    data_root = sys.argv[3]
+    import jax.numpy as jnp
+    import numpy as np
+    from sota_imagenet_tpu.data.pipeline import DeviceFeed, RectValLoader
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models.cmodel import CModel
+    from sota_imagenet_tpu.ops.augment import build_val_augment
+    from sota_imagenet_tpu.parallel.mesh import create_mesh, replicate
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.train import steps as steps_lib
+
+    mesh = create_mesh()
+    model = CModel(layer_config=[
+        {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+        {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+        {"module": "Linear", "args": [8, 2]},
+    ])
+    crit = CrossEntropyLoss(smoothing=0.1)
+    tx = build_optimizer({"_target_": "sgd"}, lambda s: jnp.asarray(0.1, jnp.float32))
+    state = steps_lib.init_state(model, tx, (2, 32, 32, 3), jax.random.PRNGKey(0), input_dtype=jnp.float32)
+    state = jax.device_put(state, replicate(mesh))
+    eval_step = jax.jit(steps_lib.build_eval_step(model, crit, input_dtype=jnp.float32))
+
+    # per-process batch 4 -> global 8 over the 2x4-device mesh; buckets and
+    # batch counts must be identical across processes or the collective
+    # assembly hangs/mismatches (the multi-host rect-val invariant)
+    host = RectValLoader(data_root, batch_size=4, image_size=32, workers=2)
+    feed = DeviceFeed(host, mesh, build_val_augment(num_classes=2, out_dtype=jnp.float32))
+    total_w = 0.0
+    acc_w = 0.0
+    with mesh:
+        for batch in feed:
+            m = eval_step(state, batch)
+            w = float(jax.device_get(m["_weight"]))
+            total_w += w
+            acc_w += float(jax.device_get(m["Acc@1"])) * w
+    acc = acc_w / max(total_w, 1.0)
+    print(f"RECT_OK pid={jax.process_index()} total={total_w:.0f} acc={acc:.6f}", flush=True)
+    """
+)
+
+
 def _run_two_procs(tmp_path, worker_src, extra_args=()):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -167,6 +218,32 @@ def test_two_process_data_parallel(tmp_path):
     # both processes observe the SAME global loss (grad all-reduce worked)
     losses = sorted(float(r.split("loss=")[1].split()[0]) for r in results)
     assert abs(losses[0] - losses[1]) < 1e-6, results
+
+
+def test_two_process_rect_validation(tmp_path):
+    """Rectangular validation across 2 processes: globally-consistent bucket
+    batch counts (no hang), every image counted exactly once in the global
+    weighted metrics, and both processes agree on the result."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "rect_val"
+    rng = np.random.default_rng(0)
+    shapes = [(60, 100), (100, 60), (64, 64), (90, 70), (50, 120), (80, 80), (120, 50)] * 3
+    for c in range(2):
+        os.makedirs(root / f"class_{c}", exist_ok=True)
+    for i, (h, w) in enumerate(shapes):
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(root / f"class_{i % 2}" / f"{i:03d}.jpg", quality=95)
+
+    outs = _run_two_procs(tmp_path, RECT_WORKER, extra_args=(str(root),))
+    oks = [l for o in outs for l in o.splitlines() if l.startswith("RECT_OK")]
+    assert len(oks) == 2, outs
+    totals = [float(l.split("total=")[1].split()[0]) for l in oks]
+    accs = [float(l.split("acc=")[1]) for l in oks]
+    # metrics are global under jit: both processes see every image once
+    assert totals[0] == totals[1] == len(shapes), oks
+    assert abs(accs[0] - accs[1]) < 1e-6, oks
 
 
 def test_two_process_checkpoint_resume(tmp_path):
