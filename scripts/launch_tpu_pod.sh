@@ -50,16 +50,22 @@ TMP_TAR=$(mktemp /tmp/sota_tpu_XXXX.tar.gz)
 tar -C "$REPO_ROOT" --exclude logs --exclude .git --exclude '__pycache__' -czf "$TMP_TAR" .
 gcloud compute tpus tpu-vm scp "$TMP_TAR" "$TPU_NAME":/tmp/sota_tpu.tar.gz --zone "$ZONE" --worker=all
 # extract into a FRESH tree and swap: extracting over the old tree would keep
-# deleted/renamed files around (stale configs silently runnable)
-"${SSH[@]}" "rm -rf $REMOTE_DIR.new && mkdir -p $REMOTE_DIR.new \
+# deleted/renamed files around (stale configs silently runnable). Refuse to
+# swap under a LIVE run — the next sync's cleanup would delete the tree the
+# running trainer is writing checkpoints into; stop it first.
+"${SSH[@]}" "if [[ -f $REMOTE_DIR/train.pid ]] && kill -0 \$(cat $REMOTE_DIR/train.pid) 2>/dev/null; then
+    echo 'ERROR: a training run is live on this worker — run --stop first'; exit 17
+  fi \
+  && rm -rf $REMOTE_DIR.new && mkdir -p $REMOTE_DIR.new \
   && tar -xzf /tmp/sota_tpu.tar.gz -C $REMOTE_DIR.new \
   && rm -rf $REMOTE_DIR.old \
   && { [[ -d $REMOTE_DIR ]] && mv $REMOTE_DIR $REMOTE_DIR.old || true; } \
   && mv $REMOTE_DIR.new $REMOTE_DIR"
 rm -f "$TMP_TAR"
 
-# shell-quote every override so spaces/braces/quotes survive the remote bash
-# (hydra-style dict overrides like 'optim={_target_: sgd}' re-split otherwise)
+# shell-quote every override so spaces/braces/quotes survive the ONE remote
+# shell hop (hydra-style dict overrides like 'optim={_target_: sgd}' would
+# re-split otherwise); they arrive as real argv to the worker helper
 OVERRIDES=""
 for arg in "$@"; do
     OVERRIDES+=" $(printf '%q' "$arg")"
@@ -68,10 +74,11 @@ done
 echo ">> launching on all workers: $CONFIG$OVERRIDES"
 # nohup + setsid: survive the ssh session; one process per host, all local
 # chips addressed by JAX; auto_resume makes relaunch-after-preemption a no-op
-# decision for the operator (just run this script again).
+# decision for the operator (just run this script again). The helper (run AS
+# the setsid session leader, then exec'd into python) records its pid/pgid
+# in $REMOTE_DIR/train.pid for --stop.
 "${SSH[@]}" "cd $REMOTE_DIR && \
-  setsid nohup env IMAGENET_DIR=\${IMAGENET_DIR:-/data/imagenet} \
-  python train.py -c $(printf '%q' "$CONFIG") run.auto_resume=true$OVERRIDES \
-  > train.out 2>&1 < /dev/null & echo \$! > train.pid"
+  nohup setsid bash scripts/_pod_worker_launch.sh $(printf '%q' "$CONFIG")$OVERRIDES \
+  > train.out 2>&1 < /dev/null &"
 
 echo ">> launched. follow with: TPU_NAME=$TPU_NAME ZONE=$ZONE $0 --status"

@@ -17,6 +17,7 @@ val image size follows train (dali_dataloader.py:228).
 
 from __future__ import annotations
 
+import math
 import os
 import queue
 import threading
@@ -232,9 +233,6 @@ class RectValLoader:
     _WH_CACHE: Dict[str, Tuple[int, int]] = {}
 
     def __init__(self, root: str, *, batch_size: int, image_size: int, workers: int = 6, **_):
-        import math
-        from concurrent.futures import ThreadPoolExecutor
-
         from PIL import Image
 
         self.files, self.labels, self.classes = scan_image_folder(root)
@@ -277,8 +275,6 @@ class RectValLoader:
         pass
 
     def __iter__(self):
-        from concurrent.futures import ThreadPoolExecutor
-
         bs = self.batch_size
         with ThreadPoolExecutor(self.workers) as pool:
             for name, hw in self.buckets.items():

@@ -62,17 +62,18 @@ def _conv1x1_stats_fwd_impl(x2d: jnp.ndarray, w: jnp.ndarray, interpret: bool = 
         bm = 128
         pad_m = (-m) % bm
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
-    # largest divisor of n that is <= 512 and lane-aligned (n itself for
-    # small widths); avoids crashing on widths like 768 that 512 doesn't
-    # divide (e.g. base_width=96 bottlenecks)
-    if n <= 512:
-        bn = n
-    else:
-        bn = next((c for c in (512, 384, 256, 128) if n % c == 0), 0)
-        if bn == 0:
-            raise ValueError(f"conv1x1_stats: no 128-aligned tile divides n={n}")
-    assert n % bn == 0, (n, bn)
-    nm, nn = (m + pad_m) // bm, n // bn
+    # output blocks need a lane-aligned (multiple of 128) last dim on real TPU
+    # (interpret mode doesn't check): pad n up to 128 alignment, then pick the
+    # largest aligned tile <= 512 that divides it (handles base_width=96
+    # widths like 96/192/768)
+    pad_n = (-n) % 128
+    n_p = n + pad_n
+    if pad_n:
+        w = jnp.pad(w, ((0, 0), (0, pad_n)))
+    bn = next((c for c in (512, 384, 256, 128) if n_p <= c or n_p % c == 0), None)
+    bn = min(bn, n_p)
+    assert n_p % bn == 0, (n_p, bn)
+    nm, nn = (m + pad_m) // bm, n_p // bn
 
     y, s1p, s2p = pl.pallas_call(
         _kernel,
@@ -87,16 +88,18 @@ def _conv1x1_stats_fwd_impl(x2d: jnp.ndarray, w: jnp.ndarray, interpret: bool = 
             pl.BlockSpec((8, bn), lambda i, j: (i, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m + pad_m, n), jnp.bfloat16),
-            jax.ShapeDtypeStruct((nm * 8, n), jnp.float32),
-            jax.ShapeDtypeStruct((nm * 8, n), jnp.float32),
+            jax.ShapeDtypeStruct((m + pad_m, n_p), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nm * 8, n_p), jnp.float32),
+            jax.ShapeDtypeStruct((nm * 8, n_p), jnp.float32),
         ],
         interpret=interpret,
     )(x2d.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
     if pad_m:
         y = y[:m]
-    # padded rows are zero: they contribute 0 to s1/s2, no correction needed.
-    # each tile's sums are replicated 8x (see _kernel), hence the /8
+    if pad_n:
+        y, s1p, s2p = y[:, :n], s1p[:, :n], s2p[:, :n]
+    # padded rows/cols are zero: they contribute 0 to s1/s2, no correction
+    # needed. each tile's sums are replicated 8x (see _kernel), hence the /8
     return y, jnp.sum(s1p, axis=0) / 8.0, jnp.sum(s2p, axis=0) / 8.0
 
 
