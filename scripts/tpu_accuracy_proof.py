@@ -28,6 +28,7 @@ import tempfile
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 N_CLASSES = 20
 TRAIN_PER_CLASS = 100
@@ -90,10 +91,76 @@ def main():
     final = float(accs[-1]) if accs else float("nan")
     best = max((float(a) for a in accs), default=float("nan"))
     ok = out.returncode == 0 and best >= args.threshold
-    print(json.dumps({"final_acc1": final, "best_acc1": best, "epochs": args.epochs, "ok": ok}))
+
+    # --- serving closure: export the trained checkpoint and verify the
+    # ARTIFACT reproduces the training-time val accuracy on hardware ---
+    artifact_acc = float("nan")
+    if ok:
+        import glob as _glob
+
+        ckpts = sorted(_glob.glob(os.path.join(work, "logs", "*", "*", "model_last.ckpt")))
+        serve_dir = os.path.join(work, "serve")
+        # export = trace + lower only, no device needed: run it on the CPU
+        # backend (the TPU path can sit in the remote compile queue for >20
+        # min just for the template init). The artifact still targets
+        # platforms ("tpu","cpu").
+        exp_env = dict(env, JAX_PLATFORMS="cpu")
+        exp = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "scripts", "export_model.py"),
+                "-c",
+                os.path.join(ROOT, "configs", "tpu_accuracy.yaml"),
+                "--ckpt",
+                ckpts[-1],
+                "--out",
+                serve_dir,
+            ],
+            env=exp_env,
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        if exp.returncode != 0:
+            print(exp.stdout[-1000:] + exp.stderr[-1000:], file=sys.stderr)
+            ok = False
+        else:
+            import jax.numpy as jnp
+
+            from sota_imagenet_tpu.data.decode import decode_val
+            from sota_imagenet_tpu.data.pipeline import scan_image_folder
+            from sota_imagenet_tpu.utils.export import load_exported
+
+            serve, meta = load_exported(serve_dir)
+            files, labels, _ = scan_image_folder(os.path.join(data, "val"))
+            correct = 0
+            for i in range(0, len(files), 100):
+                chunk = files[i : i + 100]
+                imgs = np.stack([decode_val(f, meta["image_size"]) for f in chunk])
+                pred = np.argmax(np.asarray(serve(jnp.asarray(imgs))), axis=-1)
+                correct += int((pred == np.asarray(labels[i : i + 100])).sum())
+            artifact_acc = 100.0 * correct / len(files)
+            # the artifact must match the training-time val number (same
+            # weights, same preprocessing) — a drift here means the export
+            # path serves something other than what was trained
+            ok = ok and abs(artifact_acc - final) <= 2.0
+
+    print(
+        json.dumps(
+            {
+                "final_acc1": final,
+                "best_acc1": best,
+                "artifact_acc1": artifact_acc,
+                "epochs": args.epochs,
+                "ok": ok,
+            }
+        )
+    )
     if not ok:
         print(tail, file=sys.stderr)
-    if not args.keep:
+        print(f"work dir kept for debugging: {work}", file=sys.stderr)
+    elif not args.keep:
         shutil.rmtree(work, ignore_errors=True)
     sys.exit(0 if ok else 1)
 
