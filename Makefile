@@ -1,5 +1,9 @@
 # reference Makefile had `format` (black -l 120) and `build` targets
-.PHONY: format test bench bench-models bench-eval soak sweep native
+.PHONY: format test bench bench-models bench-eval soak sweep native setup
+
+setup:             # fresh-host bootstrap: pinned deps + native decode core
+	pip install -r requirements.txt
+	$(MAKE) -C native
 
 format:
 	black -l 120 sota_imagenet_tpu tests train.py bench.py || true

@@ -37,8 +37,10 @@ if [[ "$CONFIG" == "--status" ]]; then
 fi
 if [[ "$CONFIG" == "--stop" ]]; then
     # kill by the recorded pid (process-group kill: setsid made it a leader),
-    # not by pattern — pattern kills can match unrelated processes
-    "${SSH[@]}" "[[ -f $REMOTE_DIR/train.pid ]] && kill -- -\$(cat $REMOTE_DIR/train.pid) || true"
+    # not by pattern — pattern kills can match unrelated processes. The pid
+    # file is removed afterwards so the next sync's live-run guard can't
+    # match a recycled PID.
+    "${SSH[@]}" "{ [[ -f $REMOTE_DIR/train.pid ]] && kill -- -\$(cat $REMOTE_DIR/train.pid); rm -f $REMOTE_DIR/train.pid; } || true"
     exit 0
 fi
 
@@ -53,7 +55,10 @@ gcloud compute tpus tpu-vm scp "$TMP_TAR" "$TPU_NAME":/tmp/sota_tpu.tar.gz --zon
 # deleted/renamed files around (stale configs silently runnable). Refuse to
 # swap under a LIVE run — the next sync's cleanup would delete the tree the
 # running trainer is writing checkpoints into; stop it first.
-"${SSH[@]}" "if [[ -f $REMOTE_DIR/train.pid ]] && kill -0 \$(cat $REMOTE_DIR/train.pid) 2>/dev/null; then
+# guard checks the pid is alive AND is actually our trainer (cmdline contains
+# train.py) — a recycled PID from a stale train.pid must not block the deploy
+"${SSH[@]}" "if [[ -f $REMOTE_DIR/train.pid ]] && kill -0 \$(cat $REMOTE_DIR/train.pid) 2>/dev/null \
+      && tr '\0' ' ' < /proc/\$(cat $REMOTE_DIR/train.pid)/cmdline 2>/dev/null | grep -q train.py; then
     echo 'ERROR: a training run is live on this worker — run --stop first'; exit 17
   fi \
   && rm -rf $REMOTE_DIR.new && mkdir -p $REMOTE_DIR.new \
@@ -62,6 +67,13 @@ gcloud compute tpus tpu-vm scp "$TMP_TAR" "$TPU_NAME":/tmp/sota_tpu.tar.gz --zon
   && { [[ -d $REMOTE_DIR ]] && mv $REMOTE_DIR $REMOTE_DIR.old || true; } \
   && mv $REMOTE_DIR.new $REMOTE_DIR"
 rm -f "$TMP_TAR"
+
+# bootstrap each worker: pinned python deps + the native decode core
+# (idempotent — pip no-ops on satisfied pins, make no-ops on a fresh .so).
+# SKIP_SETUP=1 skips it for fast re-syncs on already-provisioned pods.
+if [[ -z "${SKIP_SETUP:-}" ]]; then
+    "${SSH[@]}" "cd $REMOTE_DIR && pip install -q -r requirements.txt && make -s native"
+fi
 
 # shell-quote every override so spaces/braces/quotes survive the ONE remote
 # shell hop (hydra-style dict overrides like 'optim={_target_: sgd}' would

@@ -115,6 +115,11 @@ def main():
                 ckpts[-1],
                 "--out",
                 serve_dir,
+                # the training-time Val Acc@1 is computed with the EMA weights
+                # (tpu_accuracy.yaml sets ema_decay=0.99; loop.py evaluates EMA
+                # whenever present), so the artifact must serve the SAME
+                # weights for the like-for-like comparison below
+                "--ema",
             ],
             env=exp_env,
             cwd=ROOT,

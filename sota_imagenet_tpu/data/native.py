@@ -9,12 +9,14 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()  # load() races from decode pool threads otherwise
 
 FILT_TRIANGULAR = 0
 FILT_CUBIC = 1
@@ -48,7 +50,16 @@ def load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if _TRIED:  # lost the race: the winner already finished loading
+            return _LIB
+        lib = _load_locked()
+        _LIB = lib  # publish BEFORE _TRIED: lock-free readers see the pair in order
+        _TRIED = True
+        return _LIB
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     path = _find_lib()
     if path is None:
         _try_build()
@@ -66,8 +77,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ip_decode_crop_resize.restype = ctypes.c_int
     lib.ip_decode_val.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, u8p]
     lib.ip_decode_val.restype = ctypes.c_int
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def available() -> bool:

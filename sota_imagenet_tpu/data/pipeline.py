@@ -205,13 +205,23 @@ class FolderLoader:
                     idxs, rngs = batch_idxs(b)
                     imgs = list(pool.map(lambda a: self._decode_one(self.shard_files[a[0]], a[1]), zip(idxs, rngs)))
                     stacked = np.stack(imgs)
-                if stacked.shape[0] < bs:  # pad tail batch (only when drop_last=False)
-                    pad = np.repeat(stacked[-1:], bs - stacked.shape[0], axis=0)
+                n_real = stacked.shape[0]
+                if n_real < bs:  # pad tail batch (only when drop_last=False)
+                    pad = np.repeat(stacked[-1:], bs - n_real, axis=0)
                     stacked = np.concatenate([stacked, pad])
                 labels = np.asarray([self.shard_labels[i] for i in idxs], dtype=np.int32)
                 if len(labels) < bs:
                     labels = np.concatenate([labels, np.full(bs - len(labels), -1, np.int32)])
-                yield stacked, labels
+                if not self.drop_last:
+                    # padded samples carry mask 0 so the masked eval path
+                    # (steps.build_eval_step) scores them as absent, not wrong.
+                    # The mask is yielded for FULL batches too — a mixed
+                    # 2-/3-tuple stream would compile two eval graphs.
+                    mask = np.zeros((bs,), np.float32)
+                    mask[:n_real] = 1.0
+                    yield stacked, labels, mask
+                else:
+                    yield stacked, labels
         self.epoch += 1
 
 
@@ -228,11 +238,15 @@ class RectValLoader:
     once: the last batch of each bucket is zero-padded and carries a sample
     mask the eval step uses for exact weighted metrics."""
 
-    # file -> (w, h) header cache, shared across stage rebuilds (the bucket
-    # THRESHOLDS depend on image_size, but the image dimensions do not)
-    _WH_CACHE: Dict[str, Tuple[int, int]] = {}
+    # (path, mtime) -> (w, h) header cache, shared across stage rebuilds (the
+    # bucket THRESHOLDS depend on image_size, but the image dimensions do
+    # not). Keyed by mtime so replacing a val file within a process is seen.
+    _WH_CACHE: Dict[Tuple[str, float], Tuple[int, int]] = {}
+    _SIDECAR = ".rectval_wh.json"  # persisted (w, h) table next to the dataset
 
     def __init__(self, root: str, *, batch_size: int, image_size: int, workers: int = 6, **_):
+        import json
+
         from PIL import Image
 
         self.files, self.labels, self.classes = scan_image_folder(root)
@@ -243,20 +257,40 @@ class RectValLoader:
         # bucket the FULL (sorted) file list identically on every process:
         # per-process bucketing of a shard would give processes different
         # batch counts and shape sequences, breaking the collective global
-        # batch assembly on pods. Header reads are parallel + cached.
-        missing = [f for f in self.files if f not in RectValLoader._WH_CACHE]
+        # batch assembly on pods. Header reads are parallel + cached, and the
+        # table persists to a sidecar so pod-wide first-epoch startup is one
+        # full-dataset metadata scan TOTAL, not one per host per process.
+        cache = RectValLoader._WH_CACHE
+        sidecar = os.path.join(root, RectValLoader._SIDECAR)
+        try:
+            with open(sidecar) as f:
+                for rel, (w, h, mt) in json.load(f).items():
+                    cache[(os.path.join(root, rel), float(mt))] = (int(w), int(h))
+        except (OSError, ValueError):
+            pass
+        keys = [(f, os.path.getmtime(f)) for f in self.files]
+        missing = [k for k in keys if k not in cache]
         if missing:
 
-            def read_wh(path):
-                with Image.open(path) as im:  # header-only read
+            def read_wh(key):
+                with Image.open(key[0]) as im:  # header-only read
                     return im.size
 
             with ThreadPoolExecutor(self.workers) as pool:
-                for f, wh in zip(missing, pool.map(read_wh, missing)):
-                    RectValLoader._WH_CACHE[f] = wh
+                for k, wh in zip(missing, pool.map(read_wh, missing)):
+                    cache[k] = wh
+            if jax.process_index() == 0:
+                try:  # atomic write; losing the race is harmless (same content)
+                    table = {os.path.relpath(f, root): [*cache[(f, mt)], mt] for f, mt in keys}
+                    tmp = sidecar + f".tmp{os.getpid()}"
+                    with open(tmp, "w") as out:
+                        json.dump(table, out)
+                    os.replace(tmp, sidecar)
+                except OSError:
+                    pass
         self.by_bucket = {k: [] for k in self.buckets}
-        for f, lab in zip(self.files, self.labels):
-            w, h = RectValLoader._WH_CACHE[f]
+        for (f, mt), lab in zip(keys, self.labels):
+            w, h = cache[(f, mt)]
             self.by_bucket[D.bucket_of(w, h, thresh)].append((f, lab))
         # each process takes an interleaved shard of every bucket, padded to a
         # globally-identical batch count (trailing batches may be all-padding
@@ -413,6 +447,10 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             random_interpolation=loader_cfg.get("random_interpolation", False),
             full_crop=loader_cfg.get("full_crop", False),
             workers=loader_cfg.get("workers", 6),
+            # val evaluates EVERY image: tail batch is padded + masked so the
+            # metrics stay exact (the reference sidestepped this with a batch-
+            # divisibility requirement, arg_parser.py:59-61)
+            drop_last=is_train,
         )
     if backend == "tfrecord":
         from sota_imagenet_tpu.data.records import TFRecordLoader
@@ -426,6 +464,7 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             random_interpolation=loader_cfg.get("random_interpolation", False),
             full_crop=loader_cfg.get("full_crop", False),
             workers=loader_cfg.get("workers", 6),
+            drop_last=is_train,  # val: pad + mask the tail (see FolderLoader)
         )
     raise ValueError(f"unknown data backend {backend!r}")
 

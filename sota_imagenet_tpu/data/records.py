@@ -368,6 +368,7 @@ class TFRecordLoader:
         full_crop: bool = False,
         workers: int = 6,
         seed: int = 42,
+        drop_last: bool = True,
     ):
         import jax
 
@@ -391,10 +392,14 @@ class TFRecordLoader:
         self.full_crop = full_crop
         self.workers = max(workers, 1)
         self.seed = seed
+        self.drop_last = drop_last
         self.epoch = 0
 
     def __len__(self):
-        return len(self.entries) // self.batch_size
+        n = len(self.entries) // self.batch_size
+        if not self.drop_last and len(self.entries) % self.batch_size:
+            n += 1
+        return n
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -470,7 +475,18 @@ class TFRecordLoader:
                         pool.map(lambda a: self._decode_payload(a[0], a[1]), zip(payloads, rngs))
                     )
                     imgs = np.stack(results)
-                yield imgs, labels
+                if not self.drop_last:
+                    # pad + mask the tail so masked eval scores every record
+                    # exactly once (see FolderLoader.__iter__)
+                    n_real = imgs.shape[0]
+                    if n_real < bs:
+                        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n_real, axis=0)])
+                        labels = np.concatenate([labels, np.full(bs - n_real, -1, np.int32)])
+                    mask = np.zeros((bs,), np.float32)
+                    mask[:n_real] = 1.0
+                    yield imgs, labels, mask
+                else:
+                    yield imgs, labels
         self.epoch += 1
 
     def _decode_payload(self, payload, rng):

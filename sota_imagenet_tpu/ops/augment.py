@@ -147,7 +147,13 @@ def _batch_gaussian_blur(images, sigmas, window: int = 11):
 
 def _random_erase(key, img, re_count: int, fill: float):
     """DALI fn.erase with normalized anchor/shape (dali_dataloader.py:100-110):
-    re_count boxes, anchor ~ U[0,1], shape ~ U[0.05,0.25]."""
+    re_count boxes, anchor ~ U[0,1], shape ~ U[0.05,0.25].
+
+    KNOWN unverified convention (no DALI in this environment to diff against):
+    box membership here is a continuous pixel-center comparison
+    (y/h >= anchor), while DALI floors the anchor to an integer pixel index —
+    box edges can differ by ±1 row/col. Statistically immaterial (box sides
+    are 11-56 px at 224²); recorded in ROADMAP.md."""
     h, w = img.shape[0], img.shape[1]
     ka, ks = jax.random.split(key)
     anchors = jax.random.uniform(ka, (re_count, 2))

@@ -85,6 +85,11 @@ def cutmix_mixup(
     out_img = jnp.where(use_cutmix, cut_img, mix_img)
     out_lab = jnp.where(use_cutmix, cut_lab, mix_lab)
 
+    # DELIBERATE composition delta vs the reference (do not "fix"): the
+    # reference picks cutmix/mixup 50/50 FIRST, then each applies with its own
+    # prob (callbacks.py:240-247); we apply-with-prob first, then choose 50/50.
+    # With equal per-transform probs (the only configuration the reference
+    # ships) the joint marginals are identical.
     apply = jax.random.bernoulli(k_apply, prob)
     return (
         jnp.where(apply, out_img, images).astype(images.dtype),

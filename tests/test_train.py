@@ -289,8 +289,10 @@ def test_checkpoint_roundtrip(tmp_path, mesh8):
 
 def test_checkpoint_partial_restore_keeps_ema(tmp_path, mesh8):
     """A checkpoint saved WITHOUT optimizer state (log.save_optim=false, the
-    reference default) must still restore params, batch_stats, EMA copies and
-    the step counter — only the optimizer state starts fresh."""
+    reference default) must still restore params, batch_stats and EMA copies.
+    The step counter intentionally stays at the template's 0 so the fresh
+    optimizer count and the base_step-anchored lr schedule stay consistent
+    (checkpoint.py partial-restore contract)."""
     from sota_imagenet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
     runner = make_runner(mesh8, ema_decay=0.5)
