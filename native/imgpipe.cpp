@@ -232,6 +232,11 @@ int ip_decode_crop_resize(const uint8_t* data, size_t len, int crop_x, int crop_
   JSAMPROW rowptr[1];
   rowptr[0] = rowbuf.data();
   int outrow = 0;
+  // rows above the crop: skip the IDCT/color-convert work entirely
+  // (libjpeg-turbo jpeg_skip_scanlines; entropy decode still runs)
+  while (static_cast<int>(cinfo.output_scanline) < sy) {
+    if (jpeg_skip_scanlines(&cinfo, sy - cinfo.output_scanline) == 0) break;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = cinfo.output_scanline;
     jpeg_read_scanlines(&cinfo, rowptr, 1);
@@ -257,6 +262,120 @@ int ip_decode_crop_resize(const uint8_t* data, size_t len, int crop_x, int crop_
   } else {
     resize_rgb(buf.data(), sch, scw, out, out_h, out_w, filt);
   }
+  return 0;
+}
+
+// Decode the crop at the best DCT scale WITHOUT host resampling, anchored
+// top-left into a fixed (max_h, max_w) canvas (row stride max_w*3) — the
+// host half of the device-side resample split (the DALI-GPU-resize analog,
+// reference dali_dataloader.py:73-80: decode+crop fused, resize on the
+// accelerator). Scale choice: smallest n/8 with scaled crop >= (tgt_w,
+// tgt_h) in both dims (no upscale, same rule as ip_decode_crop_resize);
+// if that overflows the canvas — extreme-aspect crops — n is decremented
+// until it fits (the device then upscales one dim slightly); if even n=1
+// cannot fit (crop > 8*canvas, i.e. sources beyond ~3600 px), falls back to
+// a full host decode+resize to (tgt_w, tgt_h), which the device resample
+// passes through as identity. Fills *scaled_w/*scaled_h with the valid
+// extent. Canvas pixels beyond the extent are left untouched (the device
+// resample masks them with exact-zero weights). Returns 0 on success.
+int ip_decode_crop_scaled(const uint8_t* data, size_t len, int crop_x, int crop_y,
+                          int crop_w, int crop_h, int tgt_w, int tgt_h, int max_w,
+                          int max_h, uint8_t* out, int* scaled_w, int* scaled_h) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  const int W = cinfo.image_width, H = cinfo.image_height;
+  if (crop_w <= 0 || crop_h <= 0) {
+    crop_x = crop_y = 0;
+    crop_w = W;
+    crop_h = H;
+  }
+  crop_x = std::clamp(crop_x, 0, W - 1);
+  crop_y = std::clamp(crop_y, 0, H - 1);
+  crop_w = std::clamp(crop_w, 1, W - crop_x);
+  crop_h = std::clamp(crop_h, 1, H - crop_y);
+
+  int num = 8;
+  for (int n = 1; n <= 8; ++n) {
+    if (crop_w * n / 8 >= tgt_w && crop_h * n / 8 >= tgt_h) {
+      num = n;
+      break;
+    }
+  }
+  // shrink until the canvas fits (+1: libjpeg rounds full-image dims up, so
+  // the scaled crop can exceed crop*n/8 by one pixel)
+  while (num > 1 && (static_cast<int64_t>(crop_w) * num / 8 + 1 > max_w ||
+                     static_cast<int64_t>(crop_h) * num / 8 + 1 > max_h))
+    --num;
+  if (static_cast<int64_t>(crop_w) / 8 + 1 > max_w || static_cast<int64_t>(crop_h) / 8 + 1 > max_h) {
+    // cannot fit even at 1/8: host-resample directly to target (device
+    // resample becomes identity). Packed decode into a temp, then re-stride.
+    jpeg_destroy_decompress(&cinfo);
+    std::vector<uint8_t> tmp(static_cast<size_t>(tgt_h) * tgt_w * 3);
+    const int rc = ip_decode_crop_resize(data, len, crop_x, crop_y, crop_w, crop_h, tgt_w,
+                                         tgt_h, 0, tmp.data());
+    if (rc != 0) return rc;
+    for (int y = 0; y < tgt_h; ++y)
+      memcpy(out + static_cast<size_t>(y) * max_w * 3, &tmp[static_cast<size_t>(y) * tgt_w * 3],
+             static_cast<size_t>(tgt_w) * 3);
+    *scaled_w = tgt_w;
+    *scaled_h = tgt_h;
+    return 0;
+  }
+
+  cinfo.scale_num = num;
+  cinfo.scale_denom = 8;
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.dct_method = JDCT_ISLOW;
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width, sh = cinfo.output_height;
+  int sx = static_cast<int>(static_cast<int64_t>(crop_x) * sw / W);
+  int sy = static_cast<int>(static_cast<int64_t>(crop_y) * sh / H);
+  int scw = std::max(static_cast<int>(static_cast<int64_t>(crop_w) * sw / W), 1);
+  int sch = std::max(static_cast<int>(static_cast<int64_t>(crop_h) * sh / H), 1);
+  sx = std::min(sx, sw - 1);
+  sy = std::min(sy, sh - 1);
+  scw = std::min({scw, sw - sx, max_w});  // canvas clamp trims <= 1 rounding px
+  sch = std::min({sch, sh - sy, max_h});
+
+  std::vector<uint8_t> rowbuf(static_cast<size_t>(sw) * 3);
+  JSAMPROW rowptr[1];
+  rowptr[0] = rowbuf.data();
+  int outrow = 0;
+  while (static_cast<int>(cinfo.output_scanline) < sy) {  // see ip_decode_crop_resize
+    if (jpeg_skip_scanlines(&cinfo, sy - cinfo.output_scanline) == 0) break;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, rowptr, 1);
+    if (y >= sy && y < sy + sch) {
+      memcpy(out + static_cast<size_t>(outrow) * max_w * 3,
+             rowbuf.data() + static_cast<size_t>(sx) * 3, static_cast<size_t>(scw) * 3);
+      ++outrow;
+    }
+    if (y >= sy + sch) {
+      jpeg_abort_decompress(&cinfo);
+      break;
+    }
+  }
+  if (cinfo.global_state != 0 && outrow == sch && cinfo.output_scanline >= cinfo.output_height) {
+    jpeg_finish_decompress(&cinfo);
+  }
+  jpeg_destroy_decompress(&cinfo);
+  if (outrow < sch) return -2;
+  *scaled_w = scw;
+  *scaled_h = sch;
   return 0;
 }
 

@@ -27,6 +27,8 @@
 
 extern "C" int ip_decode_crop_resize(const uint8_t*, size_t, int, int, int, int, int, int,
                                      int, uint8_t*);
+extern "C" int ip_decode_crop_scaled(const uint8_t*, size_t, int, int, int, int, int, int,
+                                     int, int, uint8_t*, int*, int*);
 
 namespace {
 
@@ -36,7 +38,10 @@ struct Task {
   int crop[4];
   int filt;
   uint8_t* out;
-  int out_w, out_h;
+  int out_w, out_h;   // resize target (mode 0) / decode target (mode 1)
+  int max_w, max_h;   // mode 1: canvas dims (out stride = max_w*3)
+  int* dims;          // mode 1: (h, w) valid extent, written per task
+  int mode;           // 0 = decode+crop+resize, 1 = scaled decode, no resample
   int index;
   uint64_t ticket;
 };
@@ -67,15 +72,28 @@ struct Pool {
         t = tasks.front();
         tasks.pop_front();
       }
-      const int rc = ip_decode_crop_resize(t.data, t.len, t.crop[0], t.crop[1], t.crop[2],
-                                           t.crop[3], t.out_w, t.out_h, t.filt, t.out);
+      int rc;
+      if (t.mode == 1) {
+        int sw = 0, sh = 0;
+        rc = ip_decode_crop_scaled(t.data, t.len, t.crop[0], t.crop[1], t.crop[2], t.crop[3],
+                                   t.out_w, t.out_h, t.max_w, t.max_h, t.out, &sw, &sh);
+        // failed slots report the full target so the Python PIL fallback can
+        // overwrite them in place with (tgt_h, tgt_w) content
+        t.dims[0] = rc == 0 ? sh : t.out_h;
+        t.dims[1] = rc == 0 ? sw : t.out_w;
+      } else {
+        rc = ip_decode_crop_resize(t.data, t.len, t.crop[0], t.crop[1], t.crop[2], t.crop[3],
+                                   t.out_w, t.out_h, t.filt, t.out);
+      }
       Batch* b;
       {
         std::lock_guard<std::mutex> lk(mu);
         b = batches.at(t.ticket);
       }
       if (rc != 0) {
-        memset(t.out, 0, static_cast<size_t>(t.out_w) * t.out_h * 3);
+        const size_t slot = t.mode == 1 ? static_cast<size_t>(t.max_w) * t.max_h * 3
+                                        : static_cast<size_t>(t.out_w) * t.out_h * 3;
+        memset(t.out, 0, slot);
         std::lock_guard<std::mutex> lk(b->fail_mu);
         b->failures.push_back(t.index);
       }
@@ -133,6 +151,47 @@ int pp_submit(void* handle, uint64_t ticket, int n, const uint8_t** jpeg_ptrs,
       t.out = out + img_bytes * i;
       t.out_w = out_w;
       t.out_h = out_h;
+      t.max_w = t.max_h = 0;
+      t.dims = nullptr;
+      t.mode = 0;
+      t.index = i;
+      t.ticket = ticket;
+      p->tasks.push_back(t);
+    }
+  }
+  p->cv.notify_all();
+  return 0;
+}
+
+// Scaled-decode batch submit (device-side resample split): each image is
+// decoded at the best DCT scale for a (tgt_w, tgt_h) final size into its
+// (max_h, max_w, 3) canvas slot of `out`; dims (n*2 ints, h then w) receives
+// each slot's valid extent. filts are not used here (the interpolation
+// happens on the device) but failed slots still report to the caller.
+int pp_submit_scaled(void* handle, uint64_t ticket, int n, const uint8_t** jpeg_ptrs,
+                     const size_t* jpeg_lens, const int* crops, int tgt_w, int tgt_h,
+                     uint8_t* out, int max_w, int max_h, int* dims) {
+  Pool* p = static_cast<Pool*>(handle);
+  Batch* b = new Batch();
+  b->remaining.store(n, std::memory_order_release);
+  const size_t img_bytes = static_cast<size_t>(max_w) * max_h * 3;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    if (p->batches.count(ticket)) return -1;
+    p->batches[ticket] = b;
+    for (int i = 0; i < n; ++i) {
+      Task t;
+      t.data = jpeg_ptrs[i];
+      t.len = jpeg_lens[i];
+      memcpy(t.crop, crops + 4 * i, sizeof(t.crop));
+      t.filt = 0;
+      t.out = out + img_bytes * i;
+      t.out_w = tgt_w;
+      t.out_h = tgt_h;
+      t.max_w = max_w;
+      t.max_h = max_h;
+      t.dims = dims + 2 * i;
+      t.mode = 1;
       t.index = i;
       t.ticket = ticket;
       p->tasks.push_back(t);

@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--batches", type=int, default=30)
     ap.add_argument("--model", default="resnet50")
     ap.add_argument("--sam", action="store_true", help="SAM double-backward (halves step rate; real reference feature)")
+    ap.add_argument(
+        "--device-resample",
+        action="store_true",
+        help="device-resample split: host DCT-scaled decode only, triangular/cubic resample on the MXU (ops/resample.py)",
+    )
     args = ap.parse_args()
 
     root = os.path.join(args.root, f"{args.src_px}px", "train")
@@ -87,9 +92,13 @@ def main():
     state = jax.device_put(state, replicate(mesh))
 
     host = FolderLoader(
-        root, is_train=True, batch_size=args.bs, image_size=args.size, workers=args.workers, drop_last=True
+        root, is_train=True, batch_size=args.bs, image_size=args.size, workers=args.workers, drop_last=True,
+        device_resample=args.device_resample,
     )
-    aug = build_train_augment(num_classes=1000, re_prob=0.3, color_twist_prob=0.4, gray_prob=0.2)
+    aug = build_train_augment(
+        num_classes=1000, re_prob=0.3, color_twist_prob=0.4, gray_prob=0.2,
+        resample_to=args.size if args.device_resample else None,
+    )
     feed = DeviceFeed(host, mesh, aug, prefetch=2)
 
     # ---- compute-only rate: repeat the step on one cached device batch ----
@@ -128,7 +137,7 @@ def main():
                 "e2e_img_per_sec": round(e2e_rate, 1),
                 "input_utilization": round(util, 4),
                 "cores_per_chip_needed_at_500px": round(step_rate / 471.0, 2),
-                "model": args.model, "sam": args.sam,
+                "model": args.model, "sam": args.sam, "device_resample": args.device_resample,
             }
         )
     )

@@ -86,6 +86,11 @@ class TrainLoaderConfig(LoaderConfig):
     random_interpolation: bool = False
     re_prob: float = 0.0
     re_count: int = 3
+    # device-resample split (TPU addition; the DALI-GPU-resize analog):
+    # host = DCT-scaled decode only, triangular/cubic resample on the MXU
+    # (ops/resample.py). Cuts host cost per image ~3x (PERF.md) at the price
+    # of a 4x larger (but still uint8) host->device transfer.
+    device_resample: bool = False
 
 
 @dataclass
@@ -129,6 +134,11 @@ class RunnerConfig:
     accumulate_steps: int = 1
     ema_decay: float = 0.0
     bf16: bool = True  # bfloat16 activations/compute (reference fp16, arg_parser.py:90)
+    # BatchNorm statistics view: 'global' (sync-BN, the TPU-idiomatic default),
+    # 'local' (per-data-shard stats — the reference's DDP per-GPU BN,
+    # train.py:114; removes every BN all-reduce from the pod step), or an int
+    # group count (ghost BN). See models/norms.py module docstring.
+    bn_stats: Any = "global"
     extra_callbacks: List[Any] = field(default_factory=list)
     evaluate: bool = False
 

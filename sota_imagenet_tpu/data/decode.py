@@ -120,6 +120,70 @@ def decode_train(
     return np.asarray(out, dtype=np.uint8)
 
 
+def resample_canvas(image_size: int) -> int:
+    """Fixed device-resample canvas: 2.5x the target, rounded up to a lane-
+    friendly multiple of 8. Why 2.5: the DCT-scale rule (smallest n/8 with
+    scaled crop >= target in BOTH dims) bounds the scaled min dim < 2*target,
+    and the DALI aspect distribution (U[0.75, 1.25], decode.sample_random_crop)
+    bounds max/min <= 1.25 — so the worst-case scaled max dim is just under
+    2.5*target. A 2x canvas looked tempting (36% less transfer) but ~10% of
+    crops would overflow and take the one-notch-smaller DCT scale, i.e. a
+    device UPSCALE of up to 1.25x — measured up to ±30/255 against the host
+    path. At 2.5x no legal crop overflows (imgpipe.cpp's shrink loop is then
+    only a guard for out-of-distribution callers)."""
+    return (5 * image_size // 2 + 7) // 8 * 8
+
+
+def decode_train_scaled(
+    src: Union[str, bytes],
+    rng: np.random.Generator,
+    image_size: int,
+    min_area: float = 0.08,
+    random_interpolation: bool = False,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, int, int, int]:
+    """Host half of the device-resample split: sample the DALI crop, decode it
+    at the best DCT scale WITHOUT host resampling. Returns (canvas uint8
+    (C, C, 3) top-left-anchored, sh, sw, filt) for ops.resample on device.
+
+    The crop/filter distributions are IDENTICAL to decode_train (same rng call
+    sequence), so switching loader.device_resample changes only where the
+    resample runs, not what is sampled."""
+    canvas = resample_canvas(image_size)
+    if use_native:
+        from sota_imagenet_tpu.data import native
+
+        if native.available():
+            data = _read_bytes(src)
+            dims = native.jpeg_dims(data)
+            if dims is not None:
+                w0, h0 = dims
+                x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
+                filt = 1 if (random_interpolation and rng.random() < 0.5) else 0
+                out = native.decode_crop_scaled(data, (x, y, w, h), image_size, canvas)
+                if out is not None:
+                    img, sh, sw = out
+                    return img, sh, sw, filt
+    # PIL fallback (non-JPEG / no .so): decode the crop at full res; if it
+    # fits the canvas the device resamples it (same stats as the C path at
+    # DCT scale 8/8); else resize to the target here (device = identity).
+    img = _open(src)
+    w0, h0 = img.size
+    x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
+    filt = 1 if (random_interpolation and rng.random() < 0.5) else 0
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    crop = img.crop((x, y, x + w, y + h))
+    cw, ch = crop.size
+    canvas_img = np.zeros((canvas, canvas, 3), np.uint8)
+    if cw <= canvas and ch <= canvas:
+        canvas_img[:ch, :cw] = np.asarray(crop, dtype=np.uint8)
+        return canvas_img, ch, cw, filt
+    resized = crop.resize((image_size, image_size), CUBIC if filt else TRIANGULAR)
+    canvas_img[:image_size, :image_size] = np.asarray(resized, dtype=np.uint8)
+    return canvas_img, image_size, image_size, filt
+
+
 def val_resize_size(image_size: int, full_crop: bool = False) -> int:
     """Shorter-side resize target (reference formula, dali_dataloader.py:147)."""
     if full_crop:

@@ -77,6 +77,13 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.ip_decode_crop_resize.restype = ctypes.c_int
     lib.ip_decode_val.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, u8p]
     lib.ip_decode_val.restype = ctypes.c_int
+    if hasattr(lib, "ip_decode_crop_scaled"):
+        lib.ip_decode_crop_scaled.argtypes = (
+            [u8p, ctypes.c_size_t]
+            + [ctypes.c_int] * 8
+            + [u8p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        )
+        lib.ip_decode_crop_scaled.restype = ctypes.c_int
     return lib
 
 
@@ -116,6 +123,27 @@ def decode_crop_resize(
     return out if rc == 0 else None
 
 
+def decode_crop_scaled(
+    data: bytes,
+    crop: tuple,  # (x, y, w, h) full-res coords; (0,0,0,0) = full image
+    target: int,  # the final (device-side) resample size
+    canvas: int,  # fixed output canvas (>= target), top-left anchored
+) -> Optional[tuple]:
+    """Host half of the device-resample split: DCT-scaled decode of the crop,
+    no host resampling. Returns (img (canvas, canvas, 3) uint8, sh, sw)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "ip_decode_crop_scaled"):
+        return None
+    out = np.empty((canvas, canvas, 3), np.uint8)
+    sw, sh = ctypes.c_int(), ctypes.c_int()
+    rc = lib.ip_decode_crop_scaled(
+        _as_u8p(data), len(data), crop[0], crop[1], crop[2], crop[3], target, target,
+        canvas, canvas, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(sw), ctypes.byref(sh),
+    )
+    return (out, sh.value, sw.value) if rc == 0 else None
+
+
 def decode_val(data: bytes, resize_shorter: int, crop: int) -> Optional[np.ndarray]:
     lib = load()
     if lib is None:
@@ -151,6 +179,14 @@ class BatchExecutor:
         lib.pp_submit.restype = ctypes.c_int
         lib.pp_wait.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int)]
         lib.pp_wait.restype = ctypes.c_int
+        if hasattr(lib, "pp_submit_scaled"):
+            lib.pp_submit_scaled.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.pp_submit_scaled.restype = ctypes.c_int
         self._lib = lib
         self._handle = lib.pp_create(int(workers))
         self._ticket = 0
@@ -183,6 +219,35 @@ class BatchExecutor:
         self._inflight[t] = (out, (datas, ptrs, lens, crops_arr, filts_arr), n)
         return t
 
+    def submit_scaled(self, datas, crops, target: int, canvas: int) -> int:
+        """Scaled-decode submit (device-resample split): each slot is a
+        (canvas, canvas, 3) uint8 buffer holding the DCT-scaled crop top-left;
+        wait_scaled() also returns the (n, 2) valid (h, w) extents."""
+        if not hasattr(self._lib, "pp_submit_scaled"):
+            raise RuntimeError("libimgpipe.so too old: rebuild (make -C native)")
+        n = len(datas)
+        out = np.empty((n, canvas, canvas, 3), np.uint8)
+        dims = np.empty((n, 2), np.int32)
+        ptrs = (ctypes.c_char_p * n)(*datas)
+        lens = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+        crops_arr = np.ascontiguousarray(np.asarray(crops, np.int32)).reshape(-1)
+        self._ticket += 1
+        t = self._ticket
+        rc = self._lib.pp_submit_scaled(
+            self._handle, t, n,
+            ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_char_p)),
+            lens,
+            crops_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            target, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            canvas, canvas,
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"pp_submit_scaled failed: {rc}")
+        self._inflight[t] = (out, (datas, ptrs, lens, crops_arr, dims), n)
+        return t
+
     def wait(self, ticket: int):
         """Blocks; returns (images (n,h,w,3) uint8, failed_indices list)."""
         out, _keep, n = self._inflight.pop(ticket)
@@ -191,6 +256,16 @@ class BatchExecutor:
         if nf < 0:
             raise RuntimeError("pp_wait: unknown ticket")
         return out, [fails[i] for i in range(nf)]
+
+    def wait_scaled(self, ticket: int):
+        """Blocks; returns (images (n,canvas,canvas,3) uint8, failed list,
+        dims (n,2) int32 = per-slot valid (h, w))."""
+        out, keep, n = self._inflight.pop(ticket)
+        fails = (ctypes.c_int * n)()
+        nf = self._lib.pp_wait(self._handle, ticket, fails)
+        if nf < 0:
+            raise RuntimeError("pp_wait: unknown ticket")
+        return out, [fails[i] for i in range(nf)], keep[-1]
 
     def close(self):
         if self._handle:

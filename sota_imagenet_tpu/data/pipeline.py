@@ -94,9 +94,16 @@ class FolderLoader:
         workers: int = 6,
         seed: int = 42,
         drop_last: bool = True,
+        device_resample: bool = False,
     ):
         self.files, self.labels, self.classes = scan_image_folder(root)
         self.is_train = is_train
+        # device-resample split (train only): host decodes DCT-scaled crops
+        # onto a fixed canvas; the triangular/cubic resample runs on the TPU
+        # (ops/resample.py). Batches become (canvas_imgs, labels, meta) with
+        # meta = per-sample (sh, sw, filt).
+        self.device_resample = bool(device_resample) and is_train
+        self.meta_kind = "resample" if self.device_resample else None
         self.batch_size = batch_size
         self.image_size = image_size
         self.min_area = min_area
@@ -140,8 +147,10 @@ class FolderLoader:
                 self._exec = None
         return self._exec
 
-    def _submit_batch_native(self, idxs, rngs) -> Optional[int]:
-        """Read bytes + sample crops + submit to the C executor; non-blocking."""
+    def _submit_batch_native(self, idxs, rngs) -> Optional[tuple]:
+        """Read bytes + sample crops + submit to the C executor; non-blocking.
+        Returns (ticket, filts) — filts feed the device-resample meta (the C
+        resize uses them directly in host-resample mode)."""
         from sota_imagenet_tpu.data import native
 
         ex = self._batch_executor()
@@ -160,9 +169,29 @@ class FolderLoader:
             filts.append(
                 native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
             )
-        return ex.submit(datas, crops, filts, (self.image_size, self.image_size))
+        if self.device_resample:
+            canvas = D.resample_canvas(self.image_size)
+            return ex.submit_scaled(datas, crops, self.image_size, canvas), filts
+        return ex.submit(datas, crops, filts, (self.image_size, self.image_size)), filts
 
-    def _wait_batch_native(self, ticket, idxs) -> np.ndarray:
+    def _wait_batch_native(self, ticket, idxs, filts):
+        """Returns imgs (host-resample mode) or (imgs, meta) (device-resample
+        mode). Rare non-JPEGs are PIL-redecoded in place."""
+        if self.device_resample:
+            imgs, failed, dims = self._exec.wait_scaled(ticket)
+            meta = np.concatenate([dims, np.asarray(filts, np.int32)[:, None]], axis=1)
+            for fi in failed:
+                img, sh, sw, filt = D.decode_train_scaled(
+                    self.shard_files[idxs[fi]],
+                    np.random.default_rng((self.seed, self.epoch, int(idxs[fi]), 1)),
+                    self.image_size,
+                    min_area=self.min_area,
+                    random_interpolation=self.random_interpolation,
+                    use_native=False,
+                )
+                imgs[fi] = img
+                meta[fi] = (sh, sw, filt)
+            return imgs, meta
         imgs, failed = self._exec.wait(ticket)
         for fi in failed:  # rare non-JPEGs: PIL fallback
             imgs[fi] = D.decode_train(
@@ -190,17 +219,35 @@ class FolderLoader:
         with ThreadPoolExecutor(self.workers) as pool:
             # double-buffered native path: batch b+1 decodes in C while batch b
             # is post-processed/consumed (DALI-style pipelining)
-            pending = None  # (ticket, idxs)
+            pending = None  # ((ticket, filts), idxs)
             if use_native and n_batches:
                 idxs0, rngs0 = batch_idxs(0)
                 pending = (self._submit_batch_native(idxs0, rngs0), idxs0)
             for b in range(n_batches):
+                meta = None
                 if use_native:
-                    ticket, idxs = pending
+                    (ticket, filts), idxs = pending
                     if b + 1 < n_batches:
                         idxs1, rngs1 = batch_idxs(b + 1)
                         pending = (self._submit_batch_native(idxs1, rngs1), idxs1)
-                    stacked = self._wait_batch_native(ticket, idxs)
+                    got = self._wait_batch_native(ticket, idxs, filts)
+                    stacked, meta = got if self.device_resample else (got, None)
+                elif self.device_resample:
+                    idxs, rngs = batch_idxs(b)
+                    parts = list(
+                        pool.map(
+                            lambda a: D.decode_train_scaled(
+                                self.shard_files[a[0]],
+                                a[1],
+                                self.image_size,
+                                min_area=self.min_area,
+                                random_interpolation=self.random_interpolation,
+                            ),
+                            zip(idxs, rngs),
+                        )
+                    )
+                    stacked = np.stack([p[0] for p in parts])
+                    meta = np.asarray([p[1:] for p in parts], np.int32)
                 else:
                     idxs, rngs = batch_idxs(b)
                     imgs = list(pool.map(lambda a: self._decode_one(self.shard_files[a[0]], a[1]), zip(idxs, rngs)))
@@ -212,7 +259,9 @@ class FolderLoader:
                 labels = np.asarray([self.shard_labels[i] for i in idxs], dtype=np.int32)
                 if len(labels) < bs:
                     labels = np.concatenate([labels, np.full(bs - len(labels), -1, np.int32)])
-                if not self.drop_last:
+                if meta is not None:
+                    yield stacked, labels, meta
+                elif not self.drop_last:
                     # padded samples carry mask 0 so the masked eval path
                     # (steps.build_eval_step) scores them as absent, not wrong.
                     # The mask is yielded for FULL batches too — a mixed
@@ -354,13 +403,20 @@ class DeviceFeed:
     def __iter__(self):
         sh = batch_sharding(self.mesh)
 
+        meta_kind = getattr(self.host, "meta_kind", None)
+
         def produce(item):
             images_u8, labels = item[0], item[1]
             g_img = jax.make_array_from_process_local_data(sh, images_u8)
             g_lab = jax.make_array_from_process_local_data(sh, labels)
             self._step += 1
-            batch = self.augment(jax.random.fold_in(self.rng, self._step), g_img, g_lab)
-            if len(item) > 2:  # rectangular val: per-sample validity mask
+            key = jax.random.fold_in(self.rng, self._step)
+            if len(item) > 2 and meta_kind == "resample":
+                # device-resample split: per-sample (sh, sw, filt) rides along
+                g_meta = jax.make_array_from_process_local_data(sh, item[2])
+                return self.augment(key, g_img, g_lab, g_meta)
+            batch = self.augment(key, g_img, g_lab)
+            if len(item) > 2:  # masked val: per-sample validity mask
                 batch["mask"] = jax.make_array_from_process_local_data(sh, item[2])
             return batch
 
@@ -451,6 +507,7 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             # metrics stay exact (the reference sidestepped this with a batch-
             # divisibility requirement, arg_parser.py:59-61)
             drop_last=is_train,
+            device_resample=is_train and bool(loader_cfg.get("device_resample", False)),
         )
     if backend == "tfrecord":
         from sota_imagenet_tpu.data.records import TFRecordLoader
@@ -465,6 +522,7 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             full_crop=loader_cfg.get("full_crop", False),
             workers=loader_cfg.get("workers", 6),
             drop_last=is_train,  # val: pad + mask the tail (see FolderLoader)
+            device_resample=is_train and bool(loader_cfg.get("device_resample", False)),
         )
     raise ValueError(f"unknown data backend {backend!r}")
 
@@ -477,6 +535,11 @@ def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dty
     if is_train:
         aug = build_train_augment(
             num_classes=loader_cfg.num_classes,
+            resample_to=(
+                loader_cfg.image_size
+                if getattr(host, "device_resample", False) or getattr(host, "meta_kind", None) == "resample"
+                else None
+            ),
             blur_prob=loader_cfg.get("blur_prob", 0.0),
             gray_prob=loader_cfg.get("gray_prob", 0.0),
             color_twist_prob=loader_cfg.get("color_twist_prob", 0.0),

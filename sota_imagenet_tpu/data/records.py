@@ -369,6 +369,7 @@ class TFRecordLoader:
         workers: int = 6,
         seed: int = 42,
         drop_last: bool = True,
+        device_resample: bool = False,
     ):
         import jax
 
@@ -393,6 +394,8 @@ class TFRecordLoader:
         self.workers = max(workers, 1)
         self.seed = seed
         self.drop_last = drop_last
+        self.device_resample = bool(device_resample) and is_train  # see FolderLoader
+        self.meta_kind = "resample" if self.device_resample else None
         self.epoch = 0
 
     def __len__(self):
@@ -443,6 +446,18 @@ class TFRecordLoader:
             filts.append(
                 native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
             )
+        if self.device_resample:
+            canvas = D.resample_canvas(self.image_size)
+            ticket = self._exec.submit_scaled(jpegs, crops, self.image_size, canvas)
+            imgs, failed, dims_out = self._exec.wait_scaled(ticket)
+            meta = np.concatenate([dims_out, np.asarray(filts, np.int32)[:, None]], axis=1)
+            for fi in failed:
+                img, sh, sw, filt = D.decode_train_scaled(
+                    jpegs[fi], np.random.default_rng(0), self.image_size, min_area=self.min_area, use_native=False
+                )
+                imgs[fi] = img
+                meta[fi] = (sh, sw, filt)
+            return imgs, meta
         ticket = self._exec.submit(jpegs, crops, filts, (self.image_size, self.image_size))
         imgs, failed = self._exec.wait(ticket)
         for fi in failed:
@@ -453,6 +468,8 @@ class TFRecordLoader:
 
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
+
+        from sota_imagenet_tpu.data import decode as D
 
         order = np.arange(len(self.entries))
         if self.is_train:
@@ -469,12 +486,36 @@ class TFRecordLoader:
                     for i in idxs
                 ]
                 labels = np.asarray([p[1] for p in payloads], np.int32)
-                imgs = self._decode_batch_native(payloads, rngs)
-                if imgs is None:
-                    results = list(
-                        pool.map(lambda a: self._decode_payload(a[0], a[1]), zip(payloads, rngs))
-                    )
-                    imgs = np.stack(results)
+                meta = None
+                got = self._decode_batch_native(payloads, rngs)
+                if got is None:
+                    if self.device_resample:
+                        parts = list(
+                            pool.map(
+                                lambda a: D.decode_train_scaled(
+                                    a[0][0],
+                                    a[1],
+                                    self.image_size,
+                                    min_area=self.min_area,
+                                    random_interpolation=self.random_interpolation,
+                                ),
+                                zip(payloads, rngs),
+                            )
+                        )
+                        imgs = np.stack([p[0] for p in parts])
+                        meta = np.asarray([p[1:] for p in parts], np.int32)
+                    else:
+                        results = list(
+                            pool.map(lambda a: self._decode_payload(a[0], a[1]), zip(payloads, rngs))
+                        )
+                        imgs = np.stack(results)
+                elif self.device_resample:
+                    imgs, meta = got
+                else:
+                    imgs = got
+                if meta is not None:
+                    yield imgs, labels, meta
+                    continue
                 if not self.drop_last:
                     # pad + mask the tail so masked eval scores every record
                     # exactly once (see FolderLoader.__iter__)

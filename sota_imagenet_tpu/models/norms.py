@@ -9,6 +9,19 @@ mesh axis, reductions over the batch dimension are global, so BatchNorm is
 *sync*-BN by construction — the TPU-idiomatic replacement for DDP's local BN
 (SURVEY.md §5.8). inplace-abn's memory trick is unnecessary on TPU: XLA fuses
 norm+activation and remat handles memory (SURVEY.md §2.3).
+
+``run.bn_stats`` (config) selects the STATISTICS VIEW instead:
+  * ``global`` (default): one mean/var over the global batch (sync-BN);
+  * ``local``: statistics per data-shard — the reference's DDP per-GPU BN
+    (reference train.py:114, all published accuracies incl. the 77.1% target
+    used it), and it removes every BN all-reduce from the step on pods;
+  * an int N: N statistics groups (grouped/"ghost" BN).
+Implementation is a reshape (B,...)->(G, B/G, ...) with per-group reductions:
+when the batch axis is sharded over G devices each group's rows live on ONE
+device, so XLA compiles the stats with no cross-device collectives (verified
+by counting all-reduces in the compiled 8-device HLO,
+tests/test_local_bn.py). The normalize uses each sample's own group's stats —
+bit-equal to running DDP's BN on each shard separately.
 """
 
 from __future__ import annotations
@@ -22,6 +35,33 @@ from flax import linen as nn
 from sota_imagenet_tpu.models.layers import activation_from_name
 
 Dtype = Any
+
+# Process-wide default for the BN statistics grouping, set once from
+# cfg.run.bn_stats before model build/jit (the same global-patch idiom the
+# reference used for bn momentum, train.py:76 patch_bn_mom). A static Python
+# value: changing it takes effect at the next trace.
+_BN_STATS_GROUPS: int = 1
+
+
+def set_bn_stats_groups(groups: int) -> None:
+    global _BN_STATS_GROUPS
+    _BN_STATS_GROUPS = max(int(groups), 1)
+
+
+def bn_stats_groups() -> int:
+    return _BN_STATS_GROUPS
+
+
+def resolve_bn_stats(spec, data_devices: int) -> int:
+    """Map config ``run.bn_stats`` (global | local | int) to a group count."""
+    if spec in (None, "global", 1):
+        return 1
+    if spec == "local":
+        return max(int(data_devices), 1)
+    g = int(spec)
+    if g < 1:
+        raise ValueError(f"run.bn_stats must be 'global', 'local' or a positive int, got {spec!r}")
+    return g
 
 
 class _BNCore(nn.Module):
@@ -40,29 +80,55 @@ class _BNCore(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
     subsample: int = 1
+    groups: int = 1  # statistics groups (see module docstring); 1 = sync-BN
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
         c = x.shape[-1]
+        g = max(int(self.groups), 1)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32) if self.use_scale else None
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32) if self.use_bias else None
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        dtype = self.dtype or x.dtype
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             s = max(int(self.subsample), 1)
             xs = x if s == 1 else x[:, ::s, ::s, :]
+            if x.shape[0] % g:
+                raise ValueError(f"bn_stats groups={g} must divide the batch ({x.shape[0]})")
             xf = xs.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))  # one pass: var = E[x²]-E[x]²
+            if g > 1:
+                xf = xf.reshape(g, xs.shape[0] // g, *xs.shape[1:])
+            mean = jnp.mean(xf, axis=(-4, -3, -2))  # (C,) or (g, C)
+            mean2 = jnp.mean(jnp.square(xf), axis=(-4, -3, -2))  # one pass: var = E[x²]-E[x]²
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum_flax
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
-        dtype = self.dtype or x.dtype
+                # grouped running stats: EMA of the group-AVERAGED batch stats.
+                # (DDP keeps one running buffer per replica and saves rank0's;
+                # the group average is the same estimator without per-replica
+                # state — documented deviation, E[group mean] identical.)
+                b_mean = jnp.mean(mean, axis=0) if g > 1 else mean
+                b_var = jnp.mean(var, axis=0) if g > 1 else var
+                ra_mean.value = m * ra_mean.value + (1 - m) * b_mean
+                ra_var.value = m * ra_var.value + (1 - m) * b_var
+            if g > 1:
+                # each sample is normalized by ITS group's statistics — the
+                # exact DDP-local-BN forward. The reshape keeps groups aligned
+                # with the batch sharding, so these broadcasts (like the stats
+                # reductions above) stay device-local on the mesh.
+                xg = x.astype(dtype).reshape(g, x.shape[0] // g, *x.shape[1:])
+                inv = jax.lax.rsqrt(var + self.eps)
+                y = (xg - mean[:, None, None, None, :].astype(dtype)) * inv[:, None, None, None, :].astype(dtype)
+                y = y.reshape(x.shape)
+                if scale is not None:
+                    y = y * scale.astype(dtype)
+                if bias is not None:
+                    y = y + bias.astype(dtype)
+                return y
         y = (x.astype(dtype) - mean.astype(dtype)) * jax.lax.rsqrt(var + self.eps).astype(dtype)
         if scale is not None:
             y = y * scale.astype(dtype)
@@ -83,17 +149,20 @@ class BatchNorm(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
     subsample: int = 1
+    stats_groups: Optional[int] = None  # None -> process default (set_bn_stats_groups)
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, **_):
-        if self.subsample > 1:
+        g = self.stats_groups if self.stats_groups is not None else bn_stats_groups()
+        if self.subsample > 1 or g > 1:
             return _BNCore(
                 momentum_flax=1.0 - self.momentum,
                 eps=self.eps,
                 use_scale=self.use_scale,
                 use_bias=self.use_bias,
                 subsample=self.subsample,
+                groups=g,
                 dtype=self.dtype,
                 name="BatchNorm_0",  # keep the flax-nn.BatchNorm tree layout
             )(x, use_running_average=not train)
@@ -122,17 +191,28 @@ class ABN(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     frozen: bool = False  # `frozenabn`: always use running stats
+    stats_groups: Optional[int] = None  # None -> process default
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, **_):
-        x = nn.BatchNorm(
-            use_running_average=(not train) or self.frozen,
-            momentum=1.0 - self.momentum,
-            epsilon=self.eps,
-            dtype=self.dtype or x.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        g = self.stats_groups if self.stats_groups is not None else bn_stats_groups()
+        if g > 1:
+            x = _BNCore(
+                momentum_flax=1.0 - self.momentum,
+                eps=self.eps,
+                groups=g,
+                dtype=self.dtype,
+                name="BatchNorm_0",  # keep the flax-nn.BatchNorm tree layout
+            )(x, use_running_average=(not train) or self.frozen)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=(not train) or self.frozen,
+                momentum=1.0 - self.momentum,
+                epsilon=self.eps,
+                dtype=self.dtype or x.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         return activation_from_name(self.activation)(x)
 
 

@@ -181,22 +181,38 @@ def build_train_augment(
     re_count: int = 3,
     out_dtype=jnp.bfloat16,
     use_pallas: bool = None,
+    resample_to: int = None,
 ) -> Callable:
-    """Returns jitted fn(rng, images_u8, labels) -> {'image', 'label'}.
+    """Returns jitted fn(rng, images_u8, labels[, meta]) -> {'image', 'label'}.
 
     On TPU the color/erase/normalize chain runs as ONE fused Pallas kernel
     (ops/pallas_aug.py) with per-image random scalars prefetched into SMEM;
     mirror (a layout op) and blur (a conv) stay in XLA. The pure-XLA path
     below is the reference implementation and the CPU/test path.
+
+    ``resample_to``: device-resample mode (loader.device_resample) — images
+    arrive as DCT-scaled crops on a fixed canvas with per-sample (sh, sw,
+    filt) meta, and the triangular/cubic resample to ``resample_to`` runs on
+    the MXU first (ops/resample.py), replacing the host resample.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    def maybe_resample(images_u8, meta):
+        if resample_to is None:
+            return images_u8
+        from sota_imagenet_tpu.ops.resample import device_resample
+
+        # float carrying exact uint8 values; downstream stages treat it as u8
+        return device_resample(images_u8, meta, out_size=resample_to).astype(jnp.uint8)
+
     if use_pallas:
         from sota_imagenet_tpu.ops.pallas_aug import draw_augment_scalars, pallas_augment
 
         @jax.jit
-        def pallas_path(rng, images_u8, labels):
+        def pallas_path(rng, images_u8, labels, meta=None):
             k_blur, k_sig, k_mir, k_sc = jax.random.split(rng, 4)
+            images_u8 = maybe_resample(images_u8, meta)
             bsz = images_u8.shape[0]
             if blur_prob > 0:
                 imgf = images_u8.astype(jnp.float32)
@@ -254,7 +270,8 @@ def build_train_augment(
         return (img - DATA_MEAN) / DATA_STD
 
     @jax.jit
-    def augment(rng, images_u8, labels):
+    def augment(rng, images_u8, labels, meta=None):
+        images_u8 = maybe_resample(images_u8, meta)
         bsz = images_u8.shape[0]
         k_blur, k_sig, k_rest = jax.random.split(rng, 3)
         if blur_prob > 0:

@@ -111,6 +111,15 @@ def main(argv=None):
     mesh = create_mesh(data=cfg.mesh.data, model=cfg.mesh.model)
     input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
 
+    # BN statistics view (global sync-BN / per-shard local / grouped) — a
+    # process-wide trace-time setting, applied before model build
+    from sota_imagenet_tpu.models.norms import resolve_bn_stats, set_bn_stats_groups
+
+    bn_groups = resolve_bn_stats(cfg.run.bn_stats, mesh.shape["data"])
+    set_bn_stats_groups(bn_groups)
+    if bn_groups > 1:
+        log.info(f"BatchNorm statistics: {bn_groups} groups (run.bn_stats={cfg.run.bn_stats})")
+
     log.info("Loading model")
     model_cfg = dict(cfg.model)
     if cfg.bn_momentum != 0.1 and "bn_momentum" not in model_cfg:
