@@ -141,6 +141,13 @@ class BatchNorm(nn.Module):
     """BatchNorm2d with torch-style momentum (reference patches momentum to
     cfg.bn_momentum=0.1, train.py:76): new = (1-m)*old + m*batch.
 
+    KNOWN convention delta vs torch (flax inherited, kept deliberately): the
+    running_var buffer EMAs the BIASED batch variance; torch EMAs the
+    unbiased one (factor n/(n-1), n = batch*H*W per channel). At production
+    shapes the factor is <= 1.0004 (r50 @ 224) — no accuracy effect; the
+    trajectory-parity test corrects for it explicitly
+    (tests/test_trajectory_parity.py::_torch_rv_to_flax).
+
     ``subsample`` (default off) subsamples the statistics spatially — the
     profile-driven TPU optimization described in _BNCore/ROADMAP.md."""
 
