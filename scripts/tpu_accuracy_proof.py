@@ -52,16 +52,53 @@ def _make_image(rng: np.random.Generator, cls: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def generate_corpus(root: str) -> None:
+def _make_texture_image(rng: np.random.Generator, cls: int) -> np.ndarray:
+    """Stretch corpus (round-2 VERDICT #8): class = texture family x hue
+    (5 x 4 = 20), so COLOR ALONE resolves only 1/5 of the label — the net
+    must read spatial structure. Every factor is invariant to the train
+    augmentations: RandomResizedCrop rescales frequency but preserves
+    orientation/structure (so stripe ORIENTATION is a factor, frequency is
+    not); mirror maps horizontal/vertical stripes to themselves; the four
+    hues are 90 degrees apart, far outside the +-20-degree color twist."""
+    tex, hue_i = cls % 5, cls // 5
+    r, g, b = colorsys.hsv_to_rgb(hue_i / 4.0, 0.8, 0.8)
+    base = np.array([r, g, b]) * 255.0
+    f = 2 * np.pi * rng.uniform(5, 8)  # cycles vary; frequency is NOT a label
+    ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
+    t = np.linspace(0, 1, SRC_SIZE)
+    yy, xx = t[:, None], t[None, :]
+    if tex == 0:  # horizontal stripes
+        field = np.sin(f * yy + ph1) * np.ones_like(xx)
+    elif tex == 1:  # vertical stripes
+        field = np.sin(f * xx + ph1) * np.ones_like(yy)
+    elif tex == 2:  # checkerboard (product grating)
+        field = np.sin(f * yy + ph1) * np.sin(f * xx + ph2)
+    elif tex == 3:  # isotropic blobs: low-pass 2D noise, scale-free-ish
+        k = SRC_SIZE // 16
+        coarse = rng.normal(0, 1, (k, k))
+        field = np.kron(coarse, np.ones((SRC_SIZE // k, SRC_SIZE // k)))
+        from scipy import ndimage as _ndi
+
+        field = _ndi.gaussian_filter(field, SRC_SIZE / 32)
+        field = field / (np.abs(field).max() + 1e-6)
+    else:  # flat (no texture)
+        field = np.zeros((SRC_SIZE, SRC_SIZE))
+    img = base[None, None, :] * (0.65 + 0.35 * field)[..., None]
+    img = img + rng.normal(0, 10, (SRC_SIZE, SRC_SIZE, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def generate_corpus(root: str, corpus: str = "hue") -> None:
     from PIL import Image
 
+    make = _make_texture_image if corpus == "texture" else _make_image
     rng = np.random.default_rng(0)
     for split, n in (("train", TRAIN_PER_CLASS), ("val", VAL_PER_CLASS)):
         for cls in range(N_CLASSES):
             d = os.path.join(root, split, f"class_{cls:03d}")
             os.makedirs(d, exist_ok=True)
             for i in range(n):
-                Image.fromarray(_make_image(rng, cls)).save(os.path.join(d, f"{i}.jpg"), "JPEG", quality=92)
+                Image.fromarray(make(rng, cls)).save(os.path.join(d, f"{i}.jpg"), "JPEG", quality=92)
 
 
 def main():
@@ -69,18 +106,24 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)  # 15 tops out ~73%; 30 reaches 100%
     ap.add_argument("--keep", action="store_true", help="keep the corpus/run dir")
     ap.add_argument("--threshold", type=float, default=90.0)
+    ap.add_argument("--corpus", choices=("hue", "texture"), default="hue")
+    ap.add_argument(
+        "--config",
+        default="tpu_accuracy.yaml",
+        help="config under configs/ (tpu_accuracy_bresnet.yaml = bresnet50 + EMA + CutmixMixup + device_resample)",
+    )
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="tpu_acc_")
     data = os.path.join(work, "data")
-    generate_corpus(data)
+    generate_corpus(data, corpus=args.corpus)
 
     env = dict(os.environ, IMAGENET_DIR=data)
     cmd = [
         sys.executable,
         os.path.join(ROOT, "train.py"),
         "-c",
-        os.path.join(ROOT, "configs", "tpu_accuracy.yaml"),
+        os.path.join(ROOT, "configs", args.config),
         f"log.dir={work}/logs",
         "run.stages=[{start: 0, end: 2, lr: [0.01, 0.2]}, "
         f"{{start: 2, end: {args.epochs}, lr: [0.2, 0.0], lr_mode: cos}}]",
@@ -110,7 +153,7 @@ def main():
                 sys.executable,
                 os.path.join(ROOT, "scripts", "export_model.py"),
                 "-c",
-                os.path.join(ROOT, "configs", "tpu_accuracy.yaml"),
+                os.path.join(ROOT, "configs", args.config),
                 "--ckpt",
                 ckpts[-1],
                 "--out",
@@ -158,6 +201,8 @@ def main():
                 "best_acc1": best,
                 "artifact_acc1": artifact_acc,
                 "epochs": args.epochs,
+                "corpus": args.corpus,
+                "config": args.config,
                 "ok": ok,
             }
         )

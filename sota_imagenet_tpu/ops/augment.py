@@ -198,21 +198,12 @@ def build_train_augment(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    def maybe_resample(images_u8, meta):
-        if resample_to is None:
-            return images_u8
-        from sota_imagenet_tpu.ops.resample import device_resample
-
-        # float carrying exact uint8 values; downstream stages treat it as u8
-        return device_resample(images_u8, meta, out_size=resample_to).astype(jnp.uint8)
-
     if use_pallas:
         from sota_imagenet_tpu.ops.pallas_aug import draw_augment_scalars, pallas_augment
 
         @jax.jit
-        def pallas_path(rng, images_u8, labels, meta=None):
+        def pallas_path(rng, images_u8, labels):
             k_blur, k_sig, k_mir, k_sc = jax.random.split(rng, 4)
-            images_u8 = maybe_resample(images_u8, meta)
             bsz = images_u8.shape[0]
             if blur_prob > 0:
                 imgf = images_u8.astype(jnp.float32)
@@ -249,7 +240,7 @@ def build_train_augment(
             onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
             return {"image": images, "label": onehot}
 
-        return pallas_path
+        return _with_resample(pallas_path, resample_to)
 
     def per_sample(key, img_u8):
         img = img_u8.astype(jnp.float32)
@@ -270,8 +261,7 @@ def build_train_augment(
         return (img - DATA_MEAN) / DATA_STD
 
     @jax.jit
-    def augment(rng, images_u8, labels, meta=None):
-        images_u8 = maybe_resample(images_u8, meta)
+    def augment(rng, images_u8, labels):
         bsz = images_u8.shape[0]
         k_blur, k_sig, k_rest = jax.random.split(rng, 3)
         if blur_prob > 0:
@@ -287,7 +277,30 @@ def build_train_augment(
         onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
         return {"image": images, "label": onehot}
 
-    return augment
+    return _with_resample(augment, resample_to)
+
+
+def _with_resample(inner, resample_to):
+    """Compose the device resample as its OWN jit dispatch ahead of the
+    augment jit. Folding the resample einsums into the same jitted graph as
+    the pallas augment made XLA fuse them toward the pallas operand chain and
+    lower them off the MXU: measured 6,337 ms/batch fused vs 8.8 (resample) +
+    13.5 (augment) ms as separate programs on the real chip. Two dispatches
+    cost ~nothing; keep them separate."""
+    if resample_to is None:
+        return inner
+    import functools
+
+    from sota_imagenet_tpu.ops.resample import device_resample
+
+    @functools.partial(jax.jit, static_argnames=("out_size",))
+    def _resample_u8(images, meta, out_size):
+        return device_resample(images, meta, out_size=out_size).astype(jnp.uint8)
+
+    def with_resample(rng, images_u8, labels, meta):
+        return inner(rng, _resample_u8(images_u8, meta, resample_to), labels)
+
+    return with_resample
 
 
 def build_val_augment(*, num_classes: int = 1000, out_dtype=jnp.bfloat16) -> Callable:
