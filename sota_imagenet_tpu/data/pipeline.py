@@ -404,13 +404,28 @@ class DeviceFeed:
         sh = batch_sharding(self.mesh)
 
         meta_kind = getattr(self.host, "meta_kind", None)
+        # per-batch key derivation runs on the HOST cpu backend: fold_in is an
+        # eager op, and on a tunneled TPU an eager dispatch costs a host round
+        # trip per batch (~35 ms measured) — the 8-byte key transfers with the
+        # augment dispatch instead
+        try:
+            cpu0 = jax.local_devices(backend="cpu")[0]
+            rng_host = jax.device_put(self.rng, cpu0)
+        except RuntimeError:
+            cpu0, rng_host = None, self.rng
 
         def produce(item):
             images_u8, labels = item[0], item[1]
             g_img = jax.make_array_from_process_local_data(sh, images_u8)
             g_lab = jax.make_array_from_process_local_data(sh, labels)
             self._step += 1
-            key = jax.random.fold_in(self.rng, self._step)
+            if cpu0 is not None:
+                with jax.default_device(cpu0):
+                    # -> numpy: an uncommitted argument, so it composes with
+                    # sharded inputs and ships with the augment dispatch
+                    key = np.asarray(jax.random.fold_in(rng_host, self._step))
+            else:
+                key = jax.random.fold_in(self.rng, self._step)
             if len(item) > 2 and meta_kind == "resample":
                 # device-resample split: per-sample (sh, sw, filt) rides along
                 g_meta = jax.make_array_from_process_local_data(sh, item[2])
