@@ -74,9 +74,9 @@ def _make_texture_image(rng: np.random.Generator, cls: int) -> np.ndarray:
     elif tex == 2:  # checkerboard (product grating)
         field = np.sin(f * yy + ph1) * np.sin(f * xx + ph2)
     elif tex == 3:  # isotropic blobs: low-pass 2D noise, scale-free-ish
-        k = SRC_SIZE // 16
+        k, up = 16, (SRC_SIZE + 15) // 16
         coarse = rng.normal(0, 1, (k, k))
-        field = np.kron(coarse, np.ones((SRC_SIZE // k, SRC_SIZE // k)))
+        field = np.kron(coarse, np.ones((up, up)))[:SRC_SIZE, :SRC_SIZE]
         from scipy import ndimage as _ndi
 
         field = _ndi.gaussian_filter(field, SRC_SIZE / 32)
