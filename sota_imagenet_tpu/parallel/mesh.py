@@ -47,3 +47,38 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch pytree with the batch dim sharded over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def zero1_opt_sharding(mesh: Mesh, opt_state: Any) -> Any:
+    """ZeRO-1 sharding spec tree for the optimizer state (mesh.zero1).
+
+    Each state leaf (momentum, Adam moments, ...) is sharded over the 'data'
+    axis along its LARGEST divisible dimension; leaves with no divisible dim
+    (scalars, odd shapes) stay replicated. Params and gradients remain
+    replicated — inside the jitted step XLA partitions the elementwise
+    optimizer math per shard and gathers the applied updates, so per-chip
+    optimizer-state memory drops ~n_data-fold (2x params' bytes for Adam
+    moments) at the cost of one update-sized all-gather per step on ICI.
+    This goes beyond the reference (pure DDP replicates everything,
+    reference train.py:114); semantics are unchanged — tests/test_zero1.py
+    asserts sharded == replicated bit-for-bit."""
+    n = mesh.shape["data"]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if n > 1 and shape:
+            for ax in sorted(range(len(shape)), key=lambda a: -shape[a]):
+                if shape[ax] and shape[ax] % n == 0:
+                    parts = [None] * len(shape)
+                    parts[ax] = "data"
+                    return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+def apply_zero1(state: Any, mesh: Mesh) -> Any:
+    """Place a TrainState's opt_state with ZeRO-1 shardings (see above)."""
+    sh = zero1_opt_sharding(mesh, state.opt_state)
+    opt = jax.tree_util.tree_map(jax.device_put, state.opt_state, sh)
+    return state.replace(opt_state=opt)

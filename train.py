@@ -210,6 +210,13 @@ def main(argv=None):
         if cfg.run.load_start_epoch:
             start_epoch = ckpt_epoch
 
+    if cfg.mesh.zero1:
+        # ZeRO-1: optimizer state sharded over the data axis (parallel/mesh.py)
+        from sota_imagenet_tpu.parallel.mesh import apply_zero1
+
+        runner.state = apply_zero1(runner.state, mesh)
+        log.info(f"ZeRO-1: optimizer state sharded over {mesh.shape['data']} data-parallel devices")
+
     data_manager = DataManager(cfg, mesh, rng=jax.random.fold_in(rng, 777), out_dtype=input_dtype)
 
     if cfg.run.evaluate:
