@@ -186,6 +186,51 @@ class UFO(nn.Module):
         return x + out if self.residual else out
 
 
+class FCA(nn.Module):
+    """Frequency Channel Attention (FcaNet, arXiv:2012.11879; the legacy
+    ``attn_type: fca`` / ``fca-eca`` configs, e.g.
+    _old_configs/_exp85-114_configs). GAP is replaced by multi-spectral DCT-II
+    pooling: channels split into ``num_freq`` groups, each pooled against a
+    different low-frequency 2-D DCT basis (precomputed at trace time — shapes
+    are static under jit), followed by an SE-style bottleneck (``eca=False``)
+    or an ECA 1-D conv (``eca=True``). ``temperature`` scales the gate logits."""
+
+    channels: int = 0
+    num_freq: int = 16
+    reduction: int = 16
+    temperature: float = 1.0
+    eca: bool = False
+
+    @nn.compact
+    def __call__(self, x, **_):
+        b, h, w, c = x.shape
+        n = min(self.num_freq, c)
+        # low-frequency (u,v) pairs in zigzag order (FcaNet's top-16 selection)
+        uv = sorted(((u, v) for u in range(4) for v in range(4)), key=lambda p: (p[0] + p[1], p[0]))[:n]
+        iy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        ix = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        basis = jnp.stack(
+            [jnp.cos(jnp.pi * u * iy)[:, None] * jnp.cos(jnp.pi * v * ix)[None, :] for u, v in uv]
+        )  # (n, H, W)
+        xf = x.astype(jnp.float32)
+        # channel group g pools with basis g
+        group = (jnp.arange(c) * n) // c  # (C,) static
+        sel = basis[group]  # (C, H, W)
+        s = jnp.einsum("bhwc,chw->bc", xf, sel) / (h * w)
+        if self.eca:
+            k = 3
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), (k, 1, 1), jnp.float32)
+            s = jax.lax.conv_general_dilated(
+                s[:, :, None], kernel, (1,), [(k // 2, k // 2)], dimension_numbers=("NWC", "WIO", "NWC")
+            )[:, :, 0]
+        else:
+            s = nn.Dense(max(c // self.reduction, 8), param_dtype=jnp.float32)(s)
+            s = jax.nn.relu(s)
+            s = nn.Dense(c, param_dtype=jnp.float32)(s)
+        gate = jax.nn.sigmoid(s / self.temperature)
+        return x * gate[:, None, None, :].astype(x.dtype)
+
+
 _ATTN = {
     "se": lambda chs, **kw: SE(channels=chs, **kw),
     "eca": lambda chs, **kw: ECA(channels=chs, kernel_size=kw.pop("kernel_size", 3), **kw),
@@ -194,6 +239,8 @@ _ATTN = {
     "se-var3": lambda chs, **kw: SEVar3(channels=chs, **kw),
     "xca": lambda chs, **kw: XCA(dim=chs, **kw),
     "ufo": lambda chs, **kw: UFO(dim=chs, **kw),
+    "fca": lambda chs, **kw: FCA(channels=chs, **kw),
+    "fca-eca": lambda chs, **kw: FCA(channels=chs, eca=True, **kw),
 }
 
 

@@ -26,6 +26,7 @@ bit-equal to running DDP's BN on each shard separately.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional
 
 import jax
@@ -223,6 +224,59 @@ class ABN(nn.Module):
         return activation_from_name(self.activation)(x)
 
 
+class AGN(nn.Module):
+    """Activated GroupNorm — the legacy ``norm_layer: agn`` (pytorch-tools
+    AGN, used by _old_configs/_first_attempts/BResNet50_encoder_agn.yaml):
+    GroupNorm + activation in one module, the batch-independent sibling of
+    ABN."""
+
+    activation: str = "leaky_relu"
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        g = math.gcd(self.num_groups, x.shape[-1])
+        x = nn.GroupNorm(num_groups=g, epsilon=self.eps, dtype=self.dtype or x.dtype, param_dtype=jnp.float32)(x)
+        return activation_from_name(self.activation)(x)
+
+
+class EstimatedABN(nn.Module):
+    """Activated BN normalizing with the running ("estimated") statistics in
+    BOTH train and eval, while still updating them from the batch during
+    training — the legacy ``norm_layer: estimated_abn``
+    (_old_configs/_exp85-114_configs). Removes the train/eval normalization
+    gap at the cost of slightly stale statistics (Batch-Renorm without the
+    r/d correction)."""
+
+    activation: str = "leaky_relu"
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **_):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        mean, var = ra_mean.value, ra_var.value
+        if train and not self.is_initializing():
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            bmean = jnp.mean(xf, axis=axes)
+            bvar = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(bmean)
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * bmean
+            ra_var.value = (1 - m) * ra_var.value + m * jnp.maximum(bvar, 0.0)
+        dt = self.dtype or x.dtype
+        inv = (jax.lax.rsqrt(var + self.eps) * scale).astype(dt)
+        x = x.astype(dt) * inv + (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(dt)
+        return activation_from_name(self.activation)(x)
+
+
 class GroupNorm(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
@@ -406,6 +460,8 @@ _NORMS = {
     "abn": ABN,
     "inplaceabn": ABN,  # fused by XLA on TPU (SURVEY.md §2.3)
     "frozenabn": lambda **kw: ABN(frozen=True, **kw),
+    "agn": AGN,
+    "estimated_abn": EstimatedABN,
     "gn": GroupNorm,
     "groupnorm": GroupNorm,
     "frn": FRNv1,
