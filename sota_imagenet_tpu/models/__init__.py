@@ -2,7 +2,7 @@
 (including reference-compatible aliases like ``pytorch_tools.models.resnet50``)."""
 
 from sota_imagenet_tpu import registry
-from sota_imagenet_tpu.models import attention, bnet, blocks, cmodel, layers, nfnet, norms, parametrize, resnet
+from sota_imagenet_tpu.models import attention, bnet, blocks, cmodel, extras, layers, nfnet, norms, parametrize, resnet
 from sota_imagenet_tpu.models.cmodel import CModel
 from sota_imagenet_tpu.models.nfnet import NFNet, eca_nfnet_l0, eca_nfnet_l1
 from sota_imagenet_tpu.models.resnet import Bottleneck, ResNet, bresnet50, resnet18, resnet34, resnet50, resnet101
@@ -65,6 +65,13 @@ registry.register("se_resnet50", aliases=("pytorch_tools.models.se_resnet50",))(
 registry.register("resnext50_32x4d")(resnext50_32x4d)
 registry.register("resnext101_32x4d")(resnext101_32x4d)
 registry.register("se_resnext50_32x4d")(se_resnext50_32x4d)
+
+# --- legacy one-off archs (models/extras.py) ---
+registry.register("darknet53", aliases=("timm_darknet53",))(extras.darknet53)
+registry.register("cspdarknet53", aliases=("timm_cspdarknet53",))(extras.cspdarknet53)
+registry.register("densenet121")(extras.densenet121)
+registry.register("efficientnet_b0", aliases=("effnetb0", "effnetb0_tf"))(extras.efficientnet_b0)
+registry.register("tresnetm")(extras.tresnetm)
 
 
 def vgg16_bn(num_classes: int = 1000, **kwargs):
