@@ -21,7 +21,7 @@ momenta.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Union
+from typing import Any, Callable, Dict, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,14 @@ _OPTIM_ALIASES = {
     "AdaiS": "adais",
     "src.optimizers.MADGRAD": "madgrad",
     "MADGRAD": "madgrad",
+    # legacy flat-schema names (pytorch-tools optimizer_from_name; the fused_*
+    # prefix meant apex multi-tensor variants of the same math)
+    "fused_sgd": "sgd",
+    "fused_adam": "adamw",
+    "fused_novograd": "novograd",
+    "RMSprop": "rmsprop",
+    "torch.optim.RMSprop": "rmsprop",
+    "SGDP": "sgdp",
 }
 
 
@@ -144,6 +152,49 @@ register_optimizer("adai")(zoo.adai)
 register_optimizer("adais")(zoo.adais)
 register_optimizer("madgrad")(zoo.madgrad)
 register_optimizer("adamp")(zoo.adamp)
+register_optimizer("rmsprop")(zoo.rmsprop)
+register_optimizer("sgdp")(zoo.sgdp)
+
+
+class _LookaheadState(NamedTuple):
+    count: jnp.ndarray
+    slow: Any
+    inner: Any
+
+
+def lookahead(
+    inner: optax.GradientTransformation, k: int = 5, alpha: float = 0.5
+) -> optax.GradientTransformation:
+    """Lookahead (arXiv:1907.08610; legacy flat-schema key ``lookahead: true``,
+    e.g. _old_configs/_first_attempts/resnet34_best.yaml). The inner ("fast")
+    optimizer steps normally; every ``k`` steps the slow weights move
+    ``alpha`` of the way to the fast weights and the fast weights reset to
+    them. Self-contained GradientTransformation (state carries the slow copy)
+    so TrainState/checkpointing see one ordinary optimizer."""
+
+    def init(params):
+        return _LookaheadState(
+            jnp.zeros((), jnp.int32), jax.tree_util.tree_map(jnp.asarray, params), inner.init(params)
+        )
+
+    def update(grads, state, params):
+        fast_updates, inner_state = inner.update(grads, state.inner, params)
+        count = state.count + 1
+        sync = count % k == 0
+
+        def upd_leaf(p, u, s):
+            slow_new = s + alpha * (p + u - s)
+            return jnp.where(sync, slow_new - p, u)
+
+        def slow_leaf(p, u, s):
+            slow_new = s + alpha * (p + u - s)
+            return jnp.where(sync, slow_new, s)
+
+        updates = jax.tree_util.tree_map(upd_leaf, params, fast_updates, state.slow)
+        slow = jax.tree_util.tree_map(slow_leaf, params, fast_updates, state.slow)
+        return updates, _LookaheadState(count, slow, inner_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def agc(clipping: float = 0.01, eps: float = 1e-3) -> Callable:
@@ -179,4 +230,10 @@ def build_optimizer(
     cfg.pop("lr", None)
     if "betas" in cfg:
         cfg["betas"] = tuple(cfg["betas"])
-    return _BUILDERS[name](learning_rate, wd_mask=wd_mask, **cfg)
+    use_lookahead = bool(cfg.pop("lookahead", False))
+    la_k = int(cfg.pop("lookahead_k", 5))
+    la_alpha = float(cfg.pop("lookahead_alpha", 0.5))
+    tx = _BUILDERS[name](learning_rate, wd_mask=wd_mask, **cfg)
+    if use_lookahead:
+        tx = lookahead(tx, k=la_k, alpha=la_alpha)
+    return tx

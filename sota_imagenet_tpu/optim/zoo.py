@@ -395,6 +395,119 @@ def madgrad(
 # --------------------------------------------------------------------------- #
 
 
+class RMSpropState(NamedTuple):
+    count: jnp.ndarray
+    square_avg: Any
+    grad_avg: Any
+    buf: Any
+
+
+def rmsprop(
+    learning_rate: Schedule,
+    alpha: float = 0.99,
+    eps: float = 1e-8,
+    momentum: float = 0.0,
+    centered: bool = False,
+    weight_decay: float = 0.0,
+    wd_mask=None,
+    **_: Any,
+) -> optax.GradientTransformation:
+    """torch.optim.RMSprop semantics (legacy ``optim: rmsprop``,
+    _old_configs/_first_attempts/effnetb0_tf.yaml — the EfficientNet recipe).
+    Differs from optax.scale_by_rms: eps is OUTSIDE the sqrt and weight decay
+    is L2 (added to the grad), exactly as torch does it."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return RMSpropState(jnp.zeros((), jnp.int32), z, z, z)
+
+    def update(grads, state, params):
+        lr = _lr_at(learning_rate, state.count)
+        mask = _tree_with_mask(params, wd_mask)
+        grads = jax.tree_util.tree_map(
+            lambda g, p, m: g + weight_decay * p if (weight_decay and m) else g, grads, params, mask
+        )
+        sq = jax.tree_util.tree_map(lambda s, g: alpha * s + (1 - alpha) * g**2, state.square_avg, grads)
+        if centered:
+            ga = jax.tree_util.tree_map(lambda a, g: alpha * a + (1 - alpha) * g, state.grad_avg, grads)
+            avg = jax.tree_util.tree_map(lambda s, a: jnp.sqrt(jnp.maximum(s - a**2, 0.0)) + eps, sq, ga)
+        else:
+            ga = state.grad_avg
+            avg = jax.tree_util.tree_map(lambda s: jnp.sqrt(s) + eps, sq)
+        if momentum:
+            buf = jax.tree_util.tree_map(lambda b, g, a: momentum * b + g / a, state.buf, grads, avg)
+            updates = jax.tree_util.tree_map(lambda b: -lr * b, buf)
+        else:
+            buf = state.buf
+            updates = jax.tree_util.tree_map(lambda g, a: -lr * g / a, grads, avg)
+        return updates, RMSpropState(state.count + 1, sq, ga, buf)
+
+    return optax.GradientTransformation(init, update)
+
+
+class SGDPState(NamedTuple):
+    count: jnp.ndarray
+    buf: Any
+
+
+def sgdp(
+    learning_rate: Schedule,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    nesterov: bool = False,
+    delta: float = 0.1,
+    wd_ratio: float = 0.1,
+    eps: float = 1e-8,
+    wd_mask=None,
+    **_: Any,
+) -> optax.GradientTransformation:
+    """SGDP (AdamP paper arXiv:2006.08217, official clovaai/adamp repo; legacy
+    ``optim: sgdp``, exp62.GEnet_no_dim_red_ctmx_sgdp.yaml): SGD-momentum whose
+    step is projected off the radial direction for scale-invariant (>=2D)
+    weights; wd is applied as ``p *= 1 - lr*wd*ratio/(1-momentum)`` before the
+    step, with ratio=wd_ratio when the projection fired. Projection uses the
+    channel view in OUR layout (output axis last), matching zoo.adamp."""
+
+    def init(params):
+        return SGDPState(jnp.zeros((), jnp.int32), jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def _channel_view(x):
+        return x.reshape(-1, x.shape[-1]).T if x.ndim > 1 else x.reshape(1, -1)  # (out, fan_in)
+
+    def _cos_sim(a, b, e=1e-8):
+        an = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + e)
+        bn = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + e)
+        return jnp.abs(jnp.sum(an * bn, axis=1))
+
+    def update(grads, state, params):
+        lr = _lr_at(learning_rate, state.count)
+        mask = _tree_with_mask(params, wd_mask)
+        new_buf = jax.tree_util.tree_map(lambda b, g: momentum * b + g, state.buf, grads)
+
+        def delta_fn(p, g, b, decay_on):
+            d_p = g + momentum * b if nesterov else b
+            ratio = 1.0
+            if p.ndim > 1:
+                pv, gv, sv = _channel_view(p), _channel_view(g), _channel_view(d_p)
+                cos = _cos_sim(gv, pv)
+                cond = jnp.max(cos) < delta / jnp.sqrt(pv.shape[1])
+                p_n = pv / (jnp.linalg.norm(pv, axis=1, keepdims=True) + eps)
+                proj = sv - p_n * jnp.sum(sv * p_n, axis=1, keepdims=True)
+                sv_out = jnp.where(cond, proj, sv)
+                d_p = sv_out.T.reshape(p.shape)
+                ratio = jnp.where(cond, wd_ratio, 1.0)
+            wd = weight_decay if decay_on else 0.0
+            if wd == 0.0:
+                return -lr * d_p
+            shrink = lr * wd * ratio / (1.0 - momentum)
+            return -shrink * p - lr * d_p
+
+        updates = jax.tree_util.tree_map(delta_fn, params, grads, new_buf, mask)
+        return updates, SGDPState(state.count + 1, new_buf)
+
+    return optax.GradientTransformation(init, update)
+
+
 class AdamPState(NamedTuple):
     count: jnp.ndarray
     mu: Any

@@ -244,3 +244,84 @@ def test_reference_alias_names():
     ]:
         tx = build_optimizer({"_target_": target, "weight_decay": 0.0}, 0.1)
         assert tx is not None
+
+
+def test_rmsprop_matches_torch():
+    params0, grads = _toy_problem()
+    for kw in [
+        {"alpha": 0.9, "eps": 1e-3, "weight_decay": 1e-5, "momentum": 0.9},
+        {"alpha": 0.99, "eps": 1e-8, "weight_decay": 0.0, "momentum": 0.0},
+        {"alpha": 0.95, "eps": 1e-4, "weight_decay": 1e-4, "momentum": 0.5, "centered": True},
+    ]:
+        tx = build_optimizer({"_target_": "rmsprop", **kw}, 0.01)
+        got = _run_jax(tx, params0, grads)
+        want = _run_torch(torch.optim.RMSprop, params0, grads, lr=0.01, **kw)
+        for k in params0:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-6, err_msg=str(kw))
+
+
+def test_sgdp_matches_official_formula():
+    """Numpy oracle of the official clovaai/adamp SGDP step (channel view),
+    written in OUR layout convention (output axis last)."""
+    params0, grads = _toy_problem(steps=4)
+    lr, momentum, wd, delta, wd_ratio, eps = 0.1, 0.9, 1e-2, 0.1, 0.1, 1e-8
+
+    p = {k: v.copy().astype(np.float64) for k, v in params0.items()}
+    buf = {k: np.zeros_like(v) for k, v in p.items()}
+    for g in grads:
+        for k in p:
+            gk = g[k].astype(np.float64)
+            buf[k] = momentum * buf[k] + gk
+            d_p = buf[k]
+            ratio = 1.0
+            if p[k].ndim > 1:
+                pv = p[k].reshape(-1, p[k].shape[-1]).T
+                gv = gk.reshape(-1, gk.shape[-1]).T
+                sv = d_p.reshape(-1, d_p.shape[-1]).T
+                pn = pv / (np.linalg.norm(pv, axis=1, keepdims=True) + 1e-8)
+                gn = gv / (np.linalg.norm(gv, axis=1, keepdims=True) + 1e-8)
+                cos = np.abs(np.sum(pn * gn, axis=1))
+                if cos.max() < delta / np.sqrt(pv.shape[1]):
+                    p_n = pv / (np.linalg.norm(pv, axis=1, keepdims=True) + eps)
+                    sv = sv - p_n * np.sum(sv * p_n, axis=1, keepdims=True)
+                    ratio = wd_ratio
+                d_p = sv.T.reshape(p[k].shape)
+            p[k] = p[k] * (1 - lr * wd * ratio / (1 - momentum)) - lr * d_p
+
+    tx = build_optimizer({"_target_": "sgdp", "momentum": momentum, "weight_decay": wd}, lr)
+    got = _run_jax(tx, params0, grads)
+    for k in params0:
+        np.testing.assert_allclose(got[k], p[k], rtol=1e-4, atol=1e-6)
+
+
+def test_lookahead_sync_semantics():
+    """After k fast steps the params must land at slow + alpha*(fast - slow);
+    between syncs they must exactly track the inner optimizer."""
+    k, alpha, lr = 3, 0.5, 0.1
+    params0, grads = _toy_problem(steps=6)
+
+    plain = _run_jax(build_optimizer({"_target_": "sgd"}, lr), params0, grads[:2])
+    tx = build_optimizer({"_target_": "sgd", "lookahead": True, "lookahead_k": k, "lookahead_alpha": alpha}, lr)
+    wrapped2 = _run_jax(tx, params0, grads[:2])
+    for key in params0:
+        np.testing.assert_allclose(wrapped2[key], plain[key], rtol=1e-6)
+
+    # numpy oracle over all 6 steps (two syncs at steps 3 and 6)
+    p = {key: v.copy().astype(np.float64) for key, v in params0.items()}
+    slow = {key: v.copy().astype(np.float64) for key, v in params0.items()}
+    for i, g in enumerate(grads):
+        for key in p:
+            p[key] = p[key] - lr * g[key]
+        if (i + 1) % k == 0:
+            for key in p:
+                slow[key] = slow[key] + alpha * (p[key] - slow[key])
+                p[key] = slow[key].copy()
+    got = _run_jax(tx, params0, grads)
+    for key in params0:
+        np.testing.assert_allclose(got[key], p[key], rtol=1e-5, atol=1e-7)
+
+
+def test_legacy_optimizer_aliases():
+    for target in ["fused_sgd", "fused_adam", "fused_novograd", "sgdp", "rmsprop"]:
+        tx = build_optimizer({"_target_": target}, 0.1)
+        assert tx is not None
