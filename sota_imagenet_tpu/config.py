@@ -71,6 +71,10 @@ class LoaderConfig:
     # TPU additions: explicit backend + host prefetch depth
     backend: str = "auto"  # auto | folder | tfrecord | synthetic
     prefetch: int = 2
+    # legacy flat-schema `classes_divisor` (e.g. exp22-26 "train on 100
+    # classes instead"): labels are integer-divided by this, shrinking the
+    # label space to ceil(num_classes / divisor) for fast experiments
+    classes_divisor: int = 1
 
 
 @dataclass
@@ -115,8 +119,13 @@ class DataStage:
     start: int = 0
     end: int = 90
     lr: Optional[Tuple[float, float]] = None
-    lr_mode: str = "linear"  # linear | cos
+    lr_mode: str = "linear"  # linear | cos | poly
     extra_args: Optional[Dict[str, Any]] = None
+    # optional epoch span of the lr phase when it extends beyond this stage
+    # (legacy configs change image size mid-phase, e.g. resnet34_best.yaml:
+    # one cos phase over [0,200] with data changes at 60/120/180). The phase
+    # evaluates over lr_ep; the stage boundaries only control loader rebuilds.
+    lr_ep: Optional[Tuple[int, int]] = None
 
 
 @dataclass
@@ -179,6 +188,11 @@ class StrictConfig:
     val_loader: ValLoaderConfig = field(default_factory=ValLoaderConfig)
     model: Dict[str, Any] = field(default_factory=lambda: dict(_target_="resnet18"))
     weight_standardization: bool = False
+    # legacy flat-schema `sigmoid_trick` (exp66-81): initialize the classifier
+    # bias to -log(C-1) so initial sigmoid probabilities are ~1/C (the
+    # RetinaNet focal prior, arXiv:1708.02002 §4.1) — used with the
+    # sigmoid/kld/focal criteria
+    sigmoid_trick: bool = False
     filter_from_wd: Optional[List[str]] = None
     bn_momentum: float = 0.1
     init_gamma: Optional[float] = 1.72  # for swish (reference arg_parser.py:133)
@@ -444,6 +458,8 @@ def parse_stages(stages: List[Any]) -> List[DataStage]:
         d = dict(s) if isinstance(s, dict) else dataclasses.asdict(s)
         if d.get("lr") is not None:
             d["lr"] = tuple(float(x) for x in d["lr"])
+        if d.get("lr_ep") is not None:
+            d["lr_ep"] = tuple(int(x) for x in d["lr_ep"])
         out.append(DataStage(**d))
     end = 0
     for st in out:  # contiguity (reference dali_dataloader.py:206-211)

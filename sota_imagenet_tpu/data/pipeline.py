@@ -385,12 +385,23 @@ class DeviceFeed:
     DALI worker-thread role, SURVEY.md §2.3).
     """
 
-    def __init__(self, host_loader, mesh, augment_fn, rng: Optional[jax.Array] = None, prefetch: int = 2):
+    def __init__(
+        self,
+        host_loader,
+        mesh,
+        augment_fn,
+        rng: Optional[jax.Array] = None,
+        prefetch: int = 2,
+        label_divisor: int = 1,
+    ):
         self.host = host_loader
         self.mesh = mesh
         self.augment = augment_fn
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.prefetch = max(prefetch, 1)
+        # legacy `classes_divisor` (see config.LoaderConfig): merge every
+        # `label_divisor` consecutive labels; -1 pad labels stay -1
+        self.label_divisor = max(int(label_divisor), 1)
         self._step = 0
 
     @property
@@ -416,6 +427,8 @@ class DeviceFeed:
 
         def produce(item):
             images_u8, labels = item[0], item[1]
+            if self.label_divisor > 1:
+                labels = np.where(labels >= 0, labels // self.label_divisor, labels)
             g_img = jax.make_array_from_process_local_data(sh, images_u8)
             g_lab = jax.make_array_from_process_local_data(sh, labels)
             self._step += 1
@@ -547,9 +560,13 @@ def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dty
     import jax.numpy as jnp
 
     dtype = out_dtype or jnp.bfloat16
+    # legacy classes_divisor: labels are merged host-side (DeviceFeed), so the
+    # one-hot width shrinks to the effective class count
+    divisor = max(int(loader_cfg.get("classes_divisor", 1) or 1), 1)
+    eff_classes = -(-int(loader_cfg.num_classes) // divisor)
     if is_train:
         aug = build_train_augment(
-            num_classes=loader_cfg.num_classes,
+            num_classes=eff_classes,
             resample_to=(
                 loader_cfg.image_size
                 if getattr(host, "device_resample", False) or getattr(host, "meta_kind", None) == "resample"
@@ -565,8 +582,8 @@ def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dty
             out_dtype=dtype,
         )
     else:
-        aug = build_val_augment(num_classes=loader_cfg.num_classes, out_dtype=dtype)
-    return DeviceFeed(host, mesh, aug, rng=rng, prefetch=loader_cfg.get("prefetch", 2))
+        aug = build_val_augment(num_classes=eff_classes, out_dtype=dtype)
+    return DeviceFeed(host, mesh, aug, rng=rng, prefetch=loader_cfg.get("prefetch", 2), label_divisor=divisor)
 
 
 class DataManager:
@@ -608,6 +625,9 @@ class DataManager:
         if accum > 1:
             train_cfg["batch_size"] = int(train_cfg["batch_size"]) * accum
         val_cfg["image_size"] = train_cfg["image_size"]  # val follows train (dali_dataloader.py:228)
+        # legacy classes_divisor applies to the whole run — val labels are
+        # merged the same way so metrics live in the shrunken label space
+        val_cfg["classes_divisor"] = train_cfg.get("classes_divisor", 1)
         get_logger().info(f"Loader changed. New data config: image_size={train_cfg['image_size']} batch_size={train_cfg['batch_size']}")
         self.loader = build_loader(train_cfg, self.mesh, is_train=True, rng=self.rng, out_dtype=self.out_dtype)
         self.val_loader = build_loader(val_cfg, self.mesh, is_train=False, out_dtype=self.out_dtype)

@@ -65,18 +65,77 @@ class FocalLoss(Loss):
         return _reduce(per_sample, self.reduction)
 
 
-class BinaryKLDivLoss(Loss):
-    """Per-class binary KL divergence between sigmoid(logits) and soft targets
-    (pytorch_tools.losses.BinaryKLDivLoss; used by FixMatchLoss, reference
-    utils.py:55-77)."""
+class BinaryFocalLoss(Loss):
+    """Sigmoid (binary, per-class) focal loss over one-hot targets — the legacy
+    ``criterion: focal`` / ``a-focal`` (exp68-72, exp91; pytorch_tools
+    FocalLoss in its default binary mode).
 
-    def __init__(self, reduction: str = "mean", eps: float = 1e-7):
+    * ``alpha`` < 0 disables alpha-weighting (legacy ``alpha: -1``); otherwise
+      the positive class is weighted ``alpha``, negatives ``1-alpha``.
+    * ``combine_thr`` > 0 switches to Reduced Focal Loss (arXiv:1903.01347):
+      plain BCE while p_t < thr, focal factor ``((1-p_t)/(1-thr))^gamma`` above.
+    * ``temperature`` scales logits first — the 'a-focal' angular variant
+      (sphere-head cosine logits / 0.2, exp91.BNet_afocal_ctmx.yaml).
+    """
+
+    def __init__(
+        self,
+        gamma: float = 2.0,
+        alpha: float = -1.0,
+        combine_thr: float = 0.0,
+        temperature: Optional[float] = None,
+        smoothing: float = 0.0,
+        reduction: str = "mean",
+    ):
+        self.gamma = gamma
+        self.alpha = alpha
+        self.combine_thr = combine_thr
+        self.temperature = temperature
+        self.smoothing = smoothing
         self.reduction = reduction
-        self.eps = eps
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         logits = logits.astype(jnp.float32)
-        t = jnp.clip(target.astype(jnp.float32), self.eps, 1.0 - self.eps)
+        if self.temperature is not None:
+            logits = logits / self.temperature
+        t = _as_soft_targets(target, logits.shape[-1])
+        if self.smoothing > 0:
+            t = t * (1.0 - self.smoothing) + self.smoothing / logits.shape[-1]
+        bce = -(t * jax.nn.log_sigmoid(logits) + (1 - t) * jax.nn.log_sigmoid(-logits))
+        p = jax.nn.sigmoid(logits)
+        p_t = p * t + (1 - p) * (1 - t)
+        if self.combine_thr > 0:
+            focal = jnp.where(
+                p_t < self.combine_thr,
+                1.0,
+                ((1.0 - p_t) / (1.0 - self.combine_thr)) ** self.gamma,
+            )
+        else:
+            focal = (1.0 - p_t) ** self.gamma
+        loss = focal * bce
+        if self.alpha >= 0:
+            loss = (self.alpha * t + (1 - self.alpha) * (1 - t)) * loss
+        per_sample = jnp.sum(loss, axis=-1)
+        return _reduce(per_sample, self.reduction)
+
+
+class BinaryKLDivLoss(Loss):
+    """Per-class binary KL divergence between sigmoid(logits) and soft targets
+    (pytorch_tools.losses.BinaryKLDivLoss; used by FixMatchLoss, reference
+    utils.py:55-77). ``smoothing`` smooths the one-hot targets first (legacy
+    ``criterion: kld`` + ``smoothing: 0.01``, exp76.BNet_small_kld_nov_smooth)."""
+
+    def __init__(self, reduction: str = "mean", eps: float = 1e-7, smoothing: float = 0.0):
+        self.reduction = reduction
+        self.eps = eps
+        self.smoothing = smoothing
+
+    def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        logits = logits.astype(jnp.float32)
+        t = _as_soft_targets(target, logits.shape[-1])
+        if self.smoothing > 0:
+            t = t * (1.0 - self.smoothing) + self.smoothing / logits.shape[-1]
+        t = jnp.clip(t.astype(jnp.float32), self.eps, 1.0 - self.eps)
         p = jnp.clip(jax.nn.sigmoid(logits), self.eps, 1.0 - self.eps)
         kl = t * jnp.log(t / p) + (1.0 - t) * jnp.log((1.0 - t) / (1.0 - p))
         # 'none' keeps the (batch, classes) matrix — the hard-negative wrappers

@@ -235,6 +235,9 @@ class BNet(nn.Module):
     drop_connect_rate: float = 0.0
     normalize: bool = False  # l2-normalize the embedding before the classifier
     sphere_fc: bool = False  # sphere-normalized classifier (angular criteria)
+    # SimCLR-style train-only MLP projector before the sphere classifier —
+    # the legacy 'mlp_adacos' head (exp102.BNet_adacos_m_mlp.yaml)
+    sphere_mlp: bool = False
     first_stage_stride: int = 1  # GENet-style /2 stems stride in stage 0
     # csp presets
     csp_stages: Sequence[bool] = ()
@@ -400,7 +403,11 @@ class BNet(nn.Module):
         x = Dropout(rate=self.drop_rate)(x, train=train)
         if self.normalize:
             x = x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12).astype(x.dtype)
-        if self.sphere_fc:
+        if self.sphere_mlp:
+            from sota_imagenet_tpu.losses.angular import SphereMLPLayer  # lazy: avoids import cycle
+
+            x = SphereMLPLayer(embedding_size=x.shape[-1], num_classes=self.num_classes, name="fc")(x, train=train)
+        elif self.sphere_fc:
             from sota_imagenet_tpu.losses.angular import SphereLinearLayer  # lazy: avoids import cycle
 
             x = SphereLinearLayer(embedding_size=x.shape[-1], num_classes=self.num_classes, name="fc")(x)

@@ -67,14 +67,26 @@ class CutmixMixup(Callback):
     """Random cutmix-or-mixup per batch (reference callbacks.py:232-247) —
     runs on device inside the train step."""
 
-    def __init__(self, cutmix_alpha: float = 1.0, mixup_alpha: float = 0.2, prob: float = 0.5):
+    def __init__(
+        self,
+        cutmix_alpha: float = 1.0,
+        mixup_alpha: float = 0.2,
+        prob: float = 0.5,
+        stop_epoch: Optional[int] = None,
+    ):
         self.cutmix_alpha = cutmix_alpha
         self.mixup_alpha = mixup_alpha
         self.prob = prob
+        # legacy progressive recipes turn cutmix OFF for a final clean stage
+        # (resnet34_best.yaml phase {"ep": 180, "cutmix": 0.0}); stages starting
+        # at/after stop_epoch build their train step without the mixup_fn
+        self.stop_epoch = stop_epoch
 
     def step_options(self):
         import functools
 
+        if self.stop_epoch is not None and getattr(self.runner, "base_epoch", 0) >= self.stop_epoch:
+            return {}
         return {
             "mixup_fn": functools.partial(
                 cutmix_mixup, cutmix_alpha=self.cutmix_alpha, mixup_alpha=self.mixup_alpha, prob=self.prob

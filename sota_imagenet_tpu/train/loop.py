@@ -93,6 +93,9 @@ class Runner:
         return self.state
 
     def _build_steps(self, steps_per_epoch: int, base_epoch: int):
+        # visible to stage-aware callbacks (CutmixMixup.stop_epoch) when
+        # step_options are collected below
+        self.base_epoch = base_epoch
         lr_schedule = make_lr_schedule(
             self.lr_phases, steps_per_epoch, base_epoch=base_epoch, base_step=int(self.state.step)
         )

@@ -20,7 +20,13 @@ def phases_from_stages(stages: Sequence[DataStage]) -> List[dict]:
     for st in stages:
         if st.lr is None:
             continue
-        out.append(dict(ep=(st.start, st.end), lr=tuple(st.lr), mode=st.lr_mode or "linear"))
+        # lr_ep: the phase's true epoch span when it extends past the stage
+        # (legacy mid-phase data changes); consecutive stages cut from the
+        # same phase produce identical entries — deduplicate them
+        ep = tuple(st.lr_ep) if st.lr_ep is not None else (st.start, st.end)
+        ph = dict(ep=ep, lr=tuple(st.lr), mode=st.lr_mode or "linear")
+        if not out or out[-1] != ph:
+            out.append(ph)
     return out
 
 
@@ -54,6 +60,11 @@ def make_lr_schedule(
             t = jnp.clip((ep - e0) / max(e1 - e0, 1e-9), 0.0, 1.0)
             if mode == "cos":
                 val = b + (a - b) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+            elif mode == "poly":
+                # quadratic decay between the endpoints — the legacy
+                # EfficientNet recipe's approximation of TF's exponential
+                # decay (effnetb0_tf.yaml "mode": "poly")
+                val = b + (a - b) * (1.0 - t) ** 2
             else:
                 val = a + (b - a) * t
             lr = jnp.where(ep >= e0, val, lr)

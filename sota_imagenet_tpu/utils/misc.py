@@ -68,3 +68,36 @@ def tree_cast(tree, dtype):
         lambda x: x.astype(dtype) if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating) else x,
         tree,
     )
+
+
+def apply_sigmoid_trick(params, num_classes: int | None = None):
+    """Set the classifier bias to ``-log(C-1)`` so the initial sigmoid
+    probability of each class is ~1/C — the RetinaNet focal prior
+    (arXiv:1708.02002 §4.1). This is the legacy flat-schema
+    ``sigmoid_trick: true`` (exp66-81, used with sigmoid/kld/focal criteria).
+
+    The classifier is found as every ``.../fc/bias`` leaf (all repo model
+    families name their classifier ``fc``); if none exists (e.g. a CModel
+    whose head is a plain ``nn.Linear`` layer), the LAST 1-d bias of width
+    ``num_classes`` in tree order is used instead."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    hits = [p for p, leaf in flat.items() if len(p) >= 2 and p[-2:] == ("fc", "bias") and getattr(leaf, "ndim", 0) == 1]
+    if not hits and num_classes is not None:
+        cands = [
+            p
+            for p, leaf in flat.items()
+            if p[-1] == "bias" and getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] == num_classes
+        ]
+        hits = cands[-1:]
+    if not hits:
+        raise ValueError(
+            "sigmoid_trick: no fc/bias leaf found in params (classifier must be "
+            "named 'fc' with a bias, or pass num_classes for the fallback)"
+        )
+    for path in hits:
+        leaf = flat[path]
+        c = leaf.shape[0]
+        flat[path] = jnp.full_like(leaf, -float(np.log(max(c - 1, 1))))
+    return flax.traverse_util.unflatten_dict(flat)

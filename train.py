@@ -122,6 +122,19 @@ def main(argv=None):
 
     log.info("Loading model")
     model_cfg = dict(cfg.model)
+    divisor = max(int(cfg.loader.get("classes_divisor", 1) or 1), 1)
+    if divisor > 1 and "num_classes" not in model_cfg:
+        # legacy classes_divisor: the classifier width follows the merged
+        # label space (ceil(C/divisor)); explicit model num_classes wins
+        eff = -(-int(cfg.loader.num_classes) // divisor)
+        try:
+            instantiate({**model_cfg, "num_classes": eff})
+            model_cfg["num_classes"] = eff
+            log.info(f"classes_divisor={divisor}: model num_classes -> {eff}")
+        except TypeError:
+            # models that don't take the kwarg (CModel heads are explicit in
+            # layer_config) must size their classifier in the config itself
+            log.warning(f"classes_divisor={divisor}: model does not take num_classes; size the head in the config")
     if cfg.bn_momentum != 0.1 and "bn_momentum" not in model_cfg:
         # patch_bn_mom equivalent (reference train.py:76); models that don't
         # take the kwarg (CModel etc. set norm kwargs directly) fall through
@@ -175,6 +188,18 @@ def main(argv=None):
     )
     init_shape = (2, cfg.loader.image_size, cfg.loader.image_size, 3)
     probe_state = probe.init_state(init_shape, rng)
+    if cfg.get("sigmoid_trick", False):
+        # focal-prior classifier-bias init (legacy sigmoid_trick; utils.misc)
+        from sota_imagenet_tpu.utils.misc import apply_sigmoid_trick
+
+        new_params = apply_sigmoid_trick(
+            probe_state.params, num_classes=-(-int(cfg.loader.num_classes) // divisor)
+        )
+        probe_state = probe_state.replace(
+            params=new_params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, new_params) if probe_state.ema_params is not None else None,
+        )
+        log.info("sigmoid_trick: classifier bias initialized to -log(C-1)")
     mask = wd_mask_fn(probe_state.params)
 
     def tx_factory(sched):
