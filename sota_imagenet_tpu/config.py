@@ -88,6 +88,10 @@ class TrainLoaderConfig(LoaderConfig):
     contrast_range: Tuple[float, float] = (0.7, 1.3)
     brightness_range: Tuple[float, float] = (0.7, 1.3)
     random_interpolation: bool = False
+    # base train resize filter: triangular | cubic (legacy flat-schema
+    # `resize_method: cubic`, _old_configs exp80/exp81); random_interpolation
+    # flips to the OTHER filter with p=0.5 per image
+    interpolation: str = "triangular"
     re_prob: float = 0.0
     re_count: int = 3
     # device-resample split (TPU addition; the DALI-GPU-resize analog):
@@ -386,16 +390,18 @@ def _compose(path: str, seen: Optional[set] = None) -> dict:
         name = str(entry).split("@")[0].strip().lstrip("/")
         if name in ("strict_config", "_self_"):
             continue
-        cand = os.path.join(os.path.dirname(ap), name)
-        if not cand.endswith((".yaml", ".yml")):
-            cand += ".yaml"
+        fname = name + ("" if name.endswith((".yaml", ".yml")) else ".yaml")
+        # search the file's directory, then ancestors (experiment files live
+        # in configs/exp/, legacy ports two levels down in configs/old_exp/*/)
+        d = os.path.dirname(ap)
+        cand = os.path.join(d, fname)
+        for _ in range(3):
+            if os.path.exists(cand):
+                break
+            d = os.path.dirname(d)
+            cand = os.path.join(d, fname)
         if not os.path.exists(cand):
-            # also look one directory up (experiment files live in configs/exp/)
-            up = os.path.join(os.path.dirname(os.path.dirname(ap)), name + ("" if name.endswith(".yaml") else ".yaml"))
-            if os.path.exists(up):
-                cand = up
-            else:
-                raise FileNotFoundError(f"defaults entry {entry!r} of {path}: no file {cand}")
+            raise FileNotFoundError(f"defaults entry {entry!r} of {path}: no file {cand}")
         base = dict(merge(base, _compose(cand, seen)))
     return dict(merge(base, data))
 

@@ -77,9 +77,14 @@ def decode_train(
     image_size: int,
     min_area: float = 0.08,
     random_interpolation: bool = False,
+    interpolation: str = "triangular",
     use_native: bool = True,
 ) -> np.ndarray:
     """Decode + random-resized-crop to (image_size, image_size, 3) uint8.
+
+    ``interpolation`` sets the base resize filter (legacy flat-schema
+    ``resize_method: cubic``, e.g. _old_configs exp80/exp81);
+    ``random_interpolation`` flips to the OTHER filter with p=0.5 per image.
 
     Fast path: the native libjpeg core (data/native.py) fuses scaled decode,
     crop and antialiased resize in C with the GIL released; PIL fallback
@@ -94,7 +99,8 @@ def decode_train(
             if dims is not None:
                 w0, h0 = dims
                 x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
-                filt = native.FILT_CUBIC if (random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
+                base = native.FILT_CUBIC if interpolation == "cubic" else native.FILT_TRIANGULAR
+                filt = (1 - base) if (random_interpolation and rng.random() < 0.5) else base
                 out = native.decode_crop_resize(data, (x, y, w, h), (image_size, image_size), filt)
                 if out is not None:
                     return out
@@ -112,10 +118,9 @@ def decode_train(
     if img.mode != "RGB":
         img = img.convert("RGB")
     crop = img.crop((x, y, x + w, y + h))
-    if random_interpolation and rng.random() < 0.5:
-        interp = CUBIC
-    else:
-        interp = TRIANGULAR
+    base = CUBIC if interpolation == "cubic" else TRIANGULAR
+    other = TRIANGULAR if interpolation == "cubic" else CUBIC
+    interp = other if (random_interpolation and rng.random() < 0.5) else base
     out = crop.resize((image_size, image_size), interp)
     return np.asarray(out, dtype=np.uint8)
 
@@ -140,6 +145,7 @@ def decode_train_scaled(
     image_size: int,
     min_area: float = 0.08,
     random_interpolation: bool = False,
+    interpolation: str = "triangular",
     use_native: bool = True,
 ) -> Tuple[np.ndarray, int, int, int]:
     """Host half of the device-resample split: sample the DALI crop, decode it
@@ -159,7 +165,8 @@ def decode_train_scaled(
             if dims is not None:
                 w0, h0 = dims
                 x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
-                filt = 1 if (random_interpolation and rng.random() < 0.5) else 0
+                base = 1 if interpolation == "cubic" else 0
+                filt = (1 - base) if (random_interpolation and rng.random() < 0.5) else base
                 out = native.decode_crop_scaled(data, (x, y, w, h), image_size, canvas)
                 if out is not None:
                     img, sh, sw = out
@@ -170,7 +177,8 @@ def decode_train_scaled(
     img = _open(src)
     w0, h0 = img.size
     x, y, w, h = sample_random_crop(rng, w0, h0, min_area=min_area)
-    filt = 1 if (random_interpolation and rng.random() < 0.5) else 0
+    base = 1 if interpolation == "cubic" else 0
+    filt = (1 - base) if (random_interpolation and rng.random() < 0.5) else base
     if img.mode != "RGB":
         img = img.convert("RGB")
     crop = img.crop((x, y, x + w, y + h))

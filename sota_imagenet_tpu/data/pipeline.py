@@ -90,6 +90,7 @@ class FolderLoader:
         image_size: int,
         min_area: float = 0.08,
         random_interpolation: bool = False,
+        interpolation: str = "triangular",
         full_crop: bool = False,
         workers: int = 6,
         seed: int = 42,
@@ -108,6 +109,8 @@ class FolderLoader:
         self.image_size = image_size
         self.min_area = min_area
         self.random_interpolation = random_interpolation
+        # base train resize filter (legacy `resize_method: cubic`)
+        self.interpolation = interpolation
         self.full_crop = full_crop
         self.workers = max(workers, 1)
         self.seed = seed
@@ -130,7 +133,12 @@ class FolderLoader:
     def _decode_one(self, path: str, rng: np.random.Generator) -> np.ndarray:
         if self.is_train:
             return D.decode_train(
-                path, rng, self.image_size, min_area=self.min_area, random_interpolation=self.random_interpolation
+                path,
+                rng,
+                self.image_size,
+                min_area=self.min_area,
+                random_interpolation=self.random_interpolation,
+                interpolation=self.interpolation,
             )
         return D.decode_val(path, self.image_size, full_crop=self.full_crop)
 
@@ -166,9 +174,8 @@ class FolderLoader:
             else:
                 crops.append(D.sample_random_crop(rng, dims[0], dims[1], min_area=self.min_area))
             datas.append(data)
-            filts.append(
-                native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
-            )
+            base = native.FILT_CUBIC if self.interpolation == "cubic" else native.FILT_TRIANGULAR
+            filts.append((1 - base) if (self.random_interpolation and rng.random() < 0.5) else base)
         if self.device_resample:
             canvas = D.resample_canvas(self.image_size)
             return ex.submit_scaled(datas, crops, self.image_size, canvas), filts
@@ -187,6 +194,7 @@ class FolderLoader:
                     self.image_size,
                     min_area=self.min_area,
                     random_interpolation=self.random_interpolation,
+                    interpolation=self.interpolation,
                     use_native=False,
                 )
                 imgs[fi] = img
@@ -200,6 +208,7 @@ class FolderLoader:
                 self.image_size,
                 min_area=self.min_area,
                 random_interpolation=self.random_interpolation,
+                interpolation=self.interpolation,
                 use_native=False,
             )
         return imgs
@@ -529,6 +538,7 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             image_size=loader_cfg.image_size,
             min_area=loader_cfg.get("min_area", 0.08),
             random_interpolation=loader_cfg.get("random_interpolation", False),
+            interpolation=loader_cfg.get("interpolation", "triangular"),
             full_crop=loader_cfg.get("full_crop", False),
             workers=loader_cfg.get("workers", 6),
             # val evaluates EVERY image: tail batch is padded + masked so the
@@ -547,6 +557,7 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             image_size=loader_cfg.image_size,
             min_area=loader_cfg.get("min_area", 0.08),
             random_interpolation=loader_cfg.get("random_interpolation", False),
+            interpolation=loader_cfg.get("interpolation", "triangular"),
             full_crop=loader_cfg.get("full_crop", False),
             workers=loader_cfg.get("workers", 6),
             drop_last=is_train,  # val: pad + mask the tail (see FolderLoader)

@@ -365,6 +365,7 @@ class TFRecordLoader:
         image_size: int,
         min_area: float = 0.08,
         random_interpolation: bool = False,
+        interpolation: str = "triangular",
         full_crop: bool = False,
         workers: int = 6,
         seed: int = 42,
@@ -390,6 +391,7 @@ class TFRecordLoader:
         self.image_size = image_size
         self.min_area = min_area
         self.random_interpolation = random_interpolation
+        self.interpolation = interpolation  # base train filter (legacy resize_method)
         self.full_crop = full_crop
         self.workers = max(workers, 1)
         self.seed = seed
@@ -416,7 +418,12 @@ class TFRecordLoader:
         label = int(ex["image/class/label"])
         if self.is_train:
             img = D.decode_train(
-                jpeg, rng, self.image_size, min_area=self.min_area, random_interpolation=self.random_interpolation
+                jpeg,
+                rng,
+                self.image_size,
+                min_area=self.min_area,
+                random_interpolation=self.random_interpolation,
+                interpolation=self.interpolation,
             )
         else:
             img = D.decode_val(jpeg, self.image_size, full_crop=self.full_crop)
@@ -444,7 +451,9 @@ class TFRecordLoader:
             )
             jpegs.append(jpeg)
             filts.append(
-                native.FILT_CUBIC if (self.random_interpolation and rng.random() < 0.5) else native.FILT_TRIANGULAR
+                (1 - (native.FILT_CUBIC if self.interpolation == "cubic" else native.FILT_TRIANGULAR))
+                if (self.random_interpolation and rng.random() < 0.5)
+                else (native.FILT_CUBIC if self.interpolation == "cubic" else native.FILT_TRIANGULAR)
             )
         if self.device_resample:
             canvas = D.resample_canvas(self.image_size)
@@ -498,6 +507,7 @@ class TFRecordLoader:
                                     self.image_size,
                                     min_area=self.min_area,
                                     random_interpolation=self.random_interpolation,
+                                    interpolation=self.interpolation,
                                 ),
                                 zip(payloads, rngs),
                             )
@@ -536,6 +546,11 @@ class TFRecordLoader:
         jpeg, _ = payload
         if self.is_train:
             return D.decode_train(
-                jpeg, rng, self.image_size, min_area=self.min_area, random_interpolation=self.random_interpolation
+                jpeg,
+                rng,
+                self.image_size,
+                min_area=self.min_area,
+                random_interpolation=self.random_interpolation,
+                interpolation=self.interpolation,
             )
         return D.decode_val(jpeg, self.image_size, full_crop=self.full_crop)

@@ -258,3 +258,41 @@ def test_cutmix_stop_epoch_gates_step_options():
     cb2 = CutmixMixup()  # no stop: always on
     cb2.set_runner(FakeRunner())
     assert "mixup_fn" in cb2.step_options()
+
+
+# --------------------------------------------------------------------------- #
+# loader interpolation (legacy resize_method) + resnet norm_layer
+# --------------------------------------------------------------------------- #
+
+
+def test_decode_train_interpolation_cubic_differs(tmp_path):
+    from PIL import Image
+
+    from sota_imagenet_tpu.data.decode import decode_train
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 256, (96, 128, 3), dtype=np.uint8).astype(np.uint8))
+    p = tmp_path / "x.jpg"
+    img.save(p, quality=95)
+    a = decode_train(str(p), np.random.default_rng(5), 64, interpolation="triangular")
+    b = decode_train(str(p), np.random.default_rng(5), 64, interpolation="cubic")
+    # same crop (same rng stream), different filter -> different pixels
+    assert a.shape == b.shape == (64, 64, 3)
+    assert not np.array_equal(a, b)
+    # deterministic per (rng, interpolation)
+    b2 = decode_train(str(p), np.random.default_rng(5), 64, interpolation="cubic")
+    np.testing.assert_array_equal(b, b2)
+
+
+def test_resnet_agn_norm_layer():
+    """legacy `norm_layer: agn` (BResNet50_encoder_agn.yaml): GroupNorm family
+    -> no batch_stats collection, still trains/evals."""
+    from sota_imagenet_tpu.config import instantiate
+
+    m = instantiate(dict(_target_="resnet18", num_classes=7, norm_layer="agn", norm_act="swish"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(1), x, train=True)
+    assert "batch_stats" not in v
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 7)
+    assert np.all(np.isfinite(np.asarray(out)))
