@@ -25,15 +25,29 @@ def _as_soft_targets(target: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 
 class CrossEntropyLoss(Loss):
     """CE with label smoothing + optional temperature
-    (pytorch_tools.losses.smooth.CrossEntropyLoss)."""
+    (pytorch_tools.losses.smooth.CrossEntropyLoss).
 
-    def __init__(self, smoothing: float = 0.0, temperature: Optional[float] = None, reduction: str = "mean"):
+    ``normalize`` L2-normalizes the logit vector per sample before the
+    (tempered) softmax — the legacy "normalize in CCE" flag
+    (_old_configs exp86.BNet_norm / exp88.BNet_norm_temp, a NormSoftmax-style
+    cosine criterion with the normalization on the criterion side)."""
+
+    def __init__(
+        self,
+        smoothing: float = 0.0,
+        temperature: Optional[float] = None,
+        normalize: bool = False,
+        reduction: str = "mean",
+    ):
         self.smoothing = smoothing
         self.temperature = temperature
+        self.normalize = normalize
         self.reduction = reduction
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         logits = logits.astype(jnp.float32)
+        if self.normalize:
+            logits = logits / jnp.maximum(jnp.linalg.norm(logits, axis=-1, keepdims=True), 1e-12)
         if self.temperature is not None:
             logits = logits / self.temperature
         num_classes = logits.shape[-1]

@@ -145,6 +145,13 @@ class BNetBlock(nn.Module):
             k = self.dw_kernel_size if kind == "dw" else (3 if kind == "k3" else 1)
             if depthwise:
                 groups = out.shape[-1]  # true depthwise over current width
+            elif k == 1:
+                # grouping applies to the spatial convs only — the reference
+                # blocks pass `groups` to their 3x3s and keep the 1x1
+                # reductions/expansions dense (model.py:909-912); grouping a
+                # 1x1 whose in/out differ (e.g. exp46 Btl 640->1024 with
+                # groups_width 1) is invalid in torch too
+                groups = 1
             elif self.groups_width:
                 groups = max(out.shape[-1] // self.groups_width, 1)
             else:
@@ -219,7 +226,7 @@ class BNet(nn.Module):
     stem_type: str = "default"
     stem_width: int = 32
     head_type: str = "default"
-    head_width: int = 2560
+    head_width: Any = 2560  # int, or per-layer list for mlp_* heads (exp53/54)
     head_norm_act: Optional[str] = None  # None -> norm_act; "none" -> no act
     mobilenetv3_head: Optional[bool] = None  # legacy alias for head_type
     norm_act: str = "leaky_relu"
@@ -229,6 +236,10 @@ class BNet(nn.Module):
     reduction: Optional[int] = None  # SE reduction
     groups: int = 1
     groups_width: Optional[int] = None
+    # exp19 "no groups with stride": stride-2 blocks fall back to dense convs
+    no_groups_with_stride: bool = False
+    # exp23 "no last expand": skip the head 1x1 expansion entirely (GAP -> fc)
+    expand_before_head: bool = True
     antialias: bool = False
     init_zero: bool = False
     drop_rate: float = 0.0
@@ -314,8 +325,10 @@ class BNet(nn.Module):
                     out_chs=out_chs,
                     stride=stride,
                     dw_kernel_size=args.get("dw_str2_kernel_size", 3) if stride == 2 else 3,
-                    groups=self.groups,
-                    groups_width=args.get("groups_width", self.groups_width),
+                    groups=1 if (stride == 2 and self.no_groups_with_stride) else self.groups,
+                    groups_width=None
+                    if (stride == 2 and self.no_groups_with_stride)
+                    else args.get("groups_width", self.groups_width),
                     norm_layer=self.norm_layer,
                     norm_act=self.norm_act,
                     antialias=self.antialias,
@@ -366,6 +379,8 @@ class BNet(nn.Module):
         ht = self.head_type
         if self.mobilenetv3_head is not None:
             ht = "mobilenetv3" if self.mobilenetv3_head else ht
+        if not self.expand_before_head:
+            ht = "pool_fc"
         act = activation_from_name(head_act) if head_act and head_act != "none" else (lambda t: t)
 
         if ht == "default":
@@ -385,8 +400,11 @@ class BNet(nn.Module):
             x = act(x)
         elif ht in ("mlp_2", "mlp_3"):
             x = jnp.mean(x, axis=(1, 2))
-            for i in range(2 if ht == "mlp_2" else 3):
-                x = nn.Dense(self.head_width, dtype=dt, param_dtype=jnp.float32, name=f"head_fc{i}")(x)
+            n = 2 if ht == "mlp_2" else 3
+            # head_width may be per-layer (exp53 "head_width: [1536, 2560]")
+            widths = list(self.head_width) if isinstance(self.head_width, (list, tuple)) else [self.head_width] * n
+            for i in range(n):
+                x = nn.Dense(widths[min(i, len(widths) - 1)], dtype=dt, param_dtype=jnp.float32, name=f"head_fc{i}")(x)
                 x = act(x)
         elif ht in ("mlp_bn_fc", "mlp_bn_fc_bn"):
             x = jnp.mean(x, axis=(1, 2))

@@ -56,12 +56,14 @@ class _CBA(nn.Module):
 class _DarkResidual(nn.Module):
     chs: int = 64
     activation: str = "leaky_relu"
+    keep_prob: float = 1.0  # stochastic depth (darknet drop_connect_rate)
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = _CBA(out_chs=self.chs // 2, kernel_size=1, activation=self.activation, dtype=self.dtype)(x, train=train)
         out = _CBA(out_chs=self.chs, kernel_size=3, activation=self.activation, dtype=self.dtype)(out, train=train)
+        out = DropPath(keep_prob=self.keep_prob)(out, train=train)
         return x + out
 
 
@@ -77,6 +79,9 @@ class Darknet53(nn.Module):
     csp: bool = False
     num_classes: int = 1000
     drop_rate: float = 0.0
+    # stochastic depth on the residual blocks, linearly decayed keep_prob
+    # (legacy darknet53_baseline.yaml `drop_connect_rate: 0.3`)
+    drop_connect_rate: float = 0.0
     dtype: Dtype = None
 
     @nn.compact
@@ -84,6 +89,12 @@ class Darknet53(nn.Module):
         dt = self.dtype
         if dt is not None:
             x = x.astype(dt)
+        total = max(sum(self.layers) - 1, 1)
+        idx = 0
+
+        def _kp(i):
+            return 1.0 - self.drop_connect_rate * i / total if self.drop_connect_rate else 1.0
+
         x = _CBA(out_chs=32, kernel_size=3, dtype=dt, name="stem")(x, train=train)
         for s, (n, c) in enumerate(zip(self.layers, self.channels)):
             x = _CBA(out_chs=c, kernel_size=3, stride=2, dtype=dt, name=f"down{s}")(x, train=train)
@@ -92,13 +103,15 @@ class Darknet53(nn.Module):
                 blk = _CBA(out_chs=half, kernel_size=1, dtype=dt, name=f"csp_in{s}")(x, train=train)
                 bypass = _CBA(out_chs=half, kernel_size=1, dtype=dt, name=f"csp_by{s}")(x, train=train)
                 for i in range(n):
-                    blk = _DarkResidual(chs=half, dtype=dt, name=f"stage{s}_block{i}")(blk, train=train)
+                    blk = _DarkResidual(chs=half, keep_prob=_kp(idx), dtype=dt, name=f"stage{s}_block{i}")(blk, train=train)
+                    idx += 1
                 blk = _CBA(out_chs=half, kernel_size=1, dtype=dt, name=f"csp_t{s}")(blk, train=train)
                 x = jnp.concatenate([blk, bypass], axis=-1)
                 x = _CBA(out_chs=c, kernel_size=1, dtype=dt, name=f"csp_out{s}")(x, train=train)
             else:
                 for i in range(n):
-                    x = _DarkResidual(chs=c, dtype=dt, name=f"stage{s}_block{i}")(x, train=train)
+                    x = _DarkResidual(chs=c, keep_prob=_kp(idx), dtype=dt, name=f"stage{s}_block{i}")(x, train=train)
+                    idx += 1
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
         x = nn.Dense(self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc")(x)
@@ -153,6 +166,7 @@ class _MBConv(nn.Module):
     stride: int = 1
     se_ratio: float = 0.25
     keep_prob: float = 1.0
+    activation: str = "swish"
     dtype: Dtype = None
 
     @nn.compact
@@ -162,13 +176,13 @@ class _MBConv(nn.Module):
         mid = in_chs * self.expand
         out = x
         if self.expand != 1:
-            out = _CBA(out_chs=mid, kernel_size=1, activation="swish", dtype=dt, name="expand")(out, train=train)
+            out = _CBA(out_chs=mid, kernel_size=1, activation=self.activation, dtype=dt, name="expand")(out, train=train)
         out = Conv(
             out_chs=mid, kernel_size=self.kernel_size, stride=self.stride,
             padding=self.kernel_size // 2, groups=mid, use_bias=False, dtype=dt, name="dw",
         )(out)
         out = BatchNorm(dtype=dt, name="dw_bn")(out, train=train)
-        out = activation_from_name("swish")(out)
+        out = activation_from_name(self.activation)(out)
         if self.se_ratio:
             # EfficientNet SE reduces from the block INPUT width
             out = SE(channels=mid, reduction=int(1 / (self.se_ratio / self.expand)), name="se")(out)
@@ -190,6 +204,7 @@ class EfficientNetB0(nn.Module):
     num_classes: int = 1000
     drop_rate: float = 0.2
     drop_connect_rate: float = 0.2
+    norm_act: str = "swish"  # legacy effnetb0.yaml sets it explicitly
     dtype: Dtype = None
 
     STAGES = ((1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
@@ -200,7 +215,7 @@ class EfficientNetB0(nn.Module):
         dt = self.dtype
         if dt is not None:
             x = x.astype(dt)
-        x = _CBA(out_chs=32, kernel_size=3, stride=2, activation="swish", dtype=dt, name="stem")(x, train=train)
+        x = _CBA(out_chs=32, kernel_size=3, stride=2, activation=self.norm_act, dtype=dt, name="stem")(x, train=train)
         total = sum(n for _, _, n, _, _ in self.STAGES)
         idx = 0
         for s, (e, c, n, stride, k) in enumerate(self.STAGES):
@@ -208,10 +223,11 @@ class EfficientNetB0(nn.Module):
                 kp = 1.0 - self.drop_connect_rate * idx / max(total - 1, 1)
                 x = _MBConv(
                     out_chs=c, expand=e, kernel_size=k, stride=stride if i == 0 else 1,
-                    keep_prob=kp if self.drop_connect_rate else 1.0, dtype=dt, name=f"s{s}_b{i}",
+                    keep_prob=kp if self.drop_connect_rate else 1.0, activation=self.norm_act,
+                    dtype=dt, name=f"s{s}_b{i}",
                 )(x, train=train)
                 idx += 1
-        x = _CBA(out_chs=1280, kernel_size=1, activation="swish", dtype=dt, name="head")(x, train=train)
+        x = _CBA(out_chs=1280, kernel_size=1, activation=self.norm_act, dtype=dt, name="head")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
         x = nn.Dense(self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc")(x)
@@ -273,6 +289,9 @@ def cspdarknet53(**kwargs) -> Darknet53:
 
 
 def densenet121(**kwargs) -> DenseNet121:
+    # torch-only gradient-checkpointing flag (densenet121_baseline.yaml);
+    # rematerialization is jax.checkpoint / XLA-side here
+    kwargs.pop("memory_efficient", None)
     return DenseNet121(**_strip(kwargs))
 
 

@@ -29,9 +29,23 @@ from sota_imagenet_tpu.models.layers import (
     activation_from_name,
     max_pool,
 )
-from sota_imagenet_tpu.models.norms import BatchNorm
+from sota_imagenet_tpu.models.norms import BatchNorm, GroupNorm
 
 Dtype = Any
+
+# norm families: "batch" = the default BN/ABN path (unchanged layout, torch
+# parity), "group" = GroupNorm (legacy ``norm_layer: agn``/``gn``,
+# _old_configs/_first_attempts/BResNet50_encoder_agn.yaml:13)
+_GN_FAMILY = ("agn", "gn", "groupnorm")
+
+
+def _bare_norm(norm_layer: str, chs: int, momentum: float, subsample: int, dtype, name=None):
+    """Norm WITHOUT activation (pre-residual / downsample positions)."""
+    if norm_layer in _GN_FAMILY:
+        import math
+
+        return GroupNorm(num_groups=math.gcd(32, chs), dtype=dtype, name=name)
+    return BatchNorm(momentum=momentum, subsample=subsample, dtype=dtype, name=name)
 
 
 class Conv1x1BNStats(nn.Module):
@@ -94,16 +108,19 @@ class Conv1x1BNStats(nn.Module):
 
 
 class _NormAct(nn.Module):
-    """BN + activation (ABN-style); `activation='identity'` for plain BN."""
+    """Norm + activation (ABN-style); `activation='identity'` for plain norm.
+    ``norm_layer`` selects the family — the default keeps the BN path (torch
+    parity), the GN family serves the legacy ``agn`` configs."""
 
     activation: str = "relu"
     momentum: float = 0.1  # torch convention (cfg.bn_momentum; reference train.py:76)
     subsample: int = 1  # spatial subsampling of BN stats (profile-driven, ROADMAP.md)
+    norm_layer: str = "abn"
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BatchNorm(momentum=self.momentum, subsample=self.subsample, dtype=self.dtype)(x, train=train)
+        x = _bare_norm(self.norm_layer, x.shape[-1], self.momentum, self.subsample, self.dtype)(x, train=train)
         return activation_from_name(self.activation)(x)
 
 
@@ -114,6 +131,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     norm_act: str = "relu"
+    norm_layer: str = "abn"
     antialias: bool = False
     attn_type: Optional[str] = None
     keep_prob: float = 1.0
@@ -128,9 +146,9 @@ class BasicBlock(nn.Module):
         out = Conv(out_chs=p, kernel_size=3, stride=conv_stride, padding=1, use_bias=False, dtype=dt)(x)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
-        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, norm_layer=self.norm_layer, dtype=dt)(out, train=train)
         out = Conv(out_chs=p, kernel_size=3, padding=1, use_bias=False, dtype=dt)(out)
-        out = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+        out = _bare_norm(self.norm_layer, p, self.bn_momentum, self.bn_subsample, dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(p)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -141,7 +159,7 @@ class BasicBlock(nn.Module):
                 res = Conv(out_chs=p, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
             else:
                 res = Conv(out_chs=p, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-            res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
+            res = _bare_norm(self.norm_layer, p, self.bn_momentum, self.bn_subsample, dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
@@ -154,6 +172,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     norm_act: str = "relu"
+    norm_layer: str = "abn"
     antialias: bool = False
     attn_type: Optional[str] = None
     keep_prob: float = 1.0
@@ -178,17 +197,17 @@ class Bottleneck(nn.Module):
             )(x, train=train)
         else:
             out = Conv(out_chs=width, kernel_size=1, padding=0, use_bias=False, dtype=dt)(x)
-            out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+            out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, norm_layer=self.norm_layer, dtype=dt)(out, train=train)
         conv_stride = 1 if self.antialias else self.stride
         out = Conv(out_chs=width, kernel_size=3, stride=conv_stride, padding=1, groups=self.groups, use_bias=False, dtype=dt)(out)
         if self.antialias and self.stride == 2:
             out = BlurPool()(out)
-        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+        out = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, norm_layer=self.norm_layer, dtype=dt)(out, train=train)
         if self.fused_stats:
             out = Conv1x1BNStats(out_chs=out_chs, momentum=self.bn_momentum, dtype=dt, name="fconv3")(out, train=train)
         else:
             out = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt)(out)
-            out = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt)(out, train=train)
+            out = _bare_norm(self.norm_layer, out_chs, self.bn_momentum, self.bn_subsample, dt)(out, train=train)
         if self.attn_type:
             out = get_attn(self.attn_type)(out_chs)(out)
         out = DropPath(keep_prob=self.keep_prob)(out, train=train)
@@ -197,14 +216,14 @@ class Bottleneck(nn.Module):
             if self.antialias and self.stride == 2:
                 res = BlurPool()(res)
                 res = Conv(out_chs=out_chs, kernel_size=1, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-                res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
+                res = _bare_norm(self.norm_layer, out_chs, self.bn_momentum, self.bn_subsample, dt, name="down_bn")(res, train=train)
             elif self.fused_stats:
                 res = Conv1x1BNStats(
                     out_chs=out_chs, stride=self.stride, momentum=self.bn_momentum, dtype=dt, name="fdown"
                 )(res, train=train)
             else:
                 res = Conv(out_chs=out_chs, kernel_size=1, stride=self.stride, padding=0, use_bias=False, dtype=dt, name="down_conv")(res)
-                res = BatchNorm(momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="down_bn")(res, train=train)
+                res = _bare_norm(self.norm_layer, out_chs, self.bn_momentum, self.bn_subsample, dt, name="down_bn")(res, train=train)
         return activation_from_name(self.norm_act)(out + res)
 
 
@@ -220,6 +239,10 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.1  # reference patch_bn_mom (train.py:76)
     bn_subsample: int = 1  # >1: subsample BN stats spatially (TPU perf, ROADMAP.md)
     norm_act: str = "relu"
+    # norm family: "abn"/"bn"/"inplaceabn" = BatchNorm (default; inplace-abn's
+    # memory trick is moot under XLA fusion), "agn"/"gn" = GroupNorm (legacy
+    # BResNet50_encoder_agn.yaml / resnet50_group_norm.yaml)
+    norm_layer: str = "abn"
     antialias: bool = False
     attn_type: Optional[str] = None
     drop_rate: float = 0.0
@@ -236,15 +259,15 @@ class ResNet(nn.Module):
         if self.stem_type == "space2depth":
             x = SpaceToDepth(block_size=4)(x)  # 3 -> 48 chs, /4 spatial
             x = Conv(out_chs=64, kernel_size=3, padding=1, use_bias=False, dtype=dt, name="stem_conv")(x)
-            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="stem_bn")(x, train=train)
+            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, norm_layer=self.norm_layer, dtype=dt, name="stem_bn")(x, train=train)
         elif self.stem_type == "deep":
             for i, chs in enumerate((32, 32, 64)):
                 x = Conv(out_chs=chs, kernel_size=3, stride=2 if i == 0 else 1, padding=1, use_bias=False, dtype=dt, name=f"stem_conv{i}")(x)
-                x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name=f"stem_bn{i}")(x, train=train)
+                x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, norm_layer=self.norm_layer, dtype=dt, name=f"stem_bn{i}")(x, train=train)
             x = max_pool(x, 3, 2, 1)
         else:
             x = Conv(out_chs=64, kernel_size=7, stride=2, padding=3, use_bias=False, dtype=dt, name="stem_conv")(x)
-            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, dtype=dt, name="stem_bn")(x, train=train)
+            x = _NormAct(activation=self.norm_act, momentum=self.bn_momentum, subsample=self.bn_subsample, norm_layer=self.norm_layer, dtype=dt, name="stem_bn")(x, train=train)
             x = max_pool(x, 3, 2, 1)
 
         # --- stages ---
@@ -265,6 +288,7 @@ class ResNet(nn.Module):
                     stride=stride,
                     downsample=downsample,
                     norm_act=self.norm_act,
+                    norm_layer=self.norm_layer,
                     antialias=self.antialias,
                     attn_type=self.attn_type,
                     keep_prob=keep_prob if self.drop_connect_rate > 0 else 1.0,
@@ -294,6 +318,9 @@ class ResNet(nn.Module):
 
 def _resnet(block, layers, **kwargs):
     kwargs.pop("pretrained", None)  # no hub on TPU pods; checkpoints via orbax
+    if kwargs.pop("deep_stem", False):  # legacy flat-schema alias (resnet34_1phase.yaml)
+        kwargs.setdefault("stem_type", "deep")
+    kwargs["norm_layer"] = str(kwargs.get("norm_layer", "abn")).lower()
     return ResNet(block=block, layers=tuple(layers), **kwargs)
 
 

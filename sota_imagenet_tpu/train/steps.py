@@ -53,18 +53,28 @@ def cutmix_mixup(
     # YAML integers (prob: 1) must not reach bernoulli/beta as int dtypes
     cutmix_alpha, mixup_alpha = float(cutmix_alpha), float(mixup_alpha)
     prob, choice_prob = float(prob), float(choice_prob)
+    # alpha == 0 disables that transform (legacy cutmix-only configs set
+    # mixup_alpha: 0). Beta(0,0) samples NaN, and a NaN in the UNCHOSEN
+    # where() branch still poisons labels on the steps that pick it — so the
+    # disabled branch must be excluded statically, not by the 50/50 draw.
+    if cutmix_alpha <= 0 and mixup_alpha <= 0:
+        return images, labels
+    if mixup_alpha <= 0:
+        choice_prob = 1.0
+    elif cutmix_alpha <= 0:
+        choice_prob = 0.0
     k_apply, k_choice, k_lam_m, k_lam_c, k_box = jax.random.split(rng, 5)
     b, h, w, _ = images.shape
     perm_images = images[::-1]
     perm_labels = labels[::-1]
 
     # mixup
-    lam_m = jax.random.beta(k_lam_m, mixup_alpha, mixup_alpha)
+    lam_m = jax.random.beta(k_lam_m, mixup_alpha, mixup_alpha) if mixup_alpha > 0 else jnp.float32(1.0)
     mix_img = lam_m * images + (1.0 - lam_m) * perm_images
     mix_lab = lam_m * labels + (1.0 - lam_m) * perm_labels
 
     # cutmix: box of area (1-lam)
-    lam_c = jax.random.beta(k_lam_c, cutmix_alpha, cutmix_alpha)
+    lam_c = jax.random.beta(k_lam_c, cutmix_alpha, cutmix_alpha) if cutmix_alpha > 0 else jnp.float32(1.0)
     ratio = jnp.sqrt(1.0 - lam_c)
     cut_h = (ratio * h).astype(jnp.int32)
     cut_w = (ratio * w).astype(jnp.int32)

@@ -96,3 +96,20 @@ def test_choice_prob_selects_cutmix_or_mixup():
         m = np.asarray(mix_img)
         # mixup: spatially constant blend per sample
         assert np.allclose(m[0], m[0, 0, 0], atol=1e-6), trial
+
+
+def test_zero_alpha_disables_branch_without_nan():
+    """alpha=0 disables that transform (legacy cutmix-only configs,
+    e.g. old_exp CutmixMixup(mixup_alpha=0)): Beta(0,0) samples NaN and the
+    unchosen where() branch must not poison labels on any seed."""
+    imgs, labels = _batch()
+    for seed in range(8):
+        mi, ml = cutmix_mixup(jax.random.PRNGKey(seed), imgs, labels, cutmix_alpha=1.0, mixup_alpha=0.0, prob=1.0)
+        assert np.isfinite(np.asarray(mi)).all() and np.isfinite(np.asarray(ml)).all()
+        np.testing.assert_allclose(np.asarray(ml).sum(-1), 1.0, atol=1e-5)
+        mi, ml = cutmix_mixup(jax.random.PRNGKey(seed), imgs, labels, cutmix_alpha=0.0, mixup_alpha=0.2, prob=1.0)
+        assert np.isfinite(np.asarray(mi)).all() and np.isfinite(np.asarray(ml)).all()
+    # both disabled: identity
+    mi, ml = cutmix_mixup(jax.random.PRNGKey(0), imgs, labels, cutmix_alpha=0.0, mixup_alpha=0.0, prob=1.0)
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(ml), np.asarray(labels))
