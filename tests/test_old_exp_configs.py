@@ -79,3 +79,53 @@ def test_old_config_loads_and_builds(path):
 def test_commented_files_stay_commented():
     """Reference keeps 2 abandoned experiments fully commented; so do we."""
     assert len(COMMENTED) >= 2
+
+
+# --------------------------------------------------------------------------- #
+# one REAL jitted train step per legacy family (the graveyard's own regression
+# harness — the reference never had one, which is why these configs rotted)
+# --------------------------------------------------------------------------- #
+
+TRAIN_STEP_CONFIGS = [
+    # binary focal + cutmix + sigmoid_trick (this combination exposed the
+    # Beta(0,0) NaN in cutmix_mixup during the port)
+    "exp1-85/exp68.BNet_no_dim_red_focal.yaml",
+    "exp1-85/exp53.GEnet_wider_mlp2.yaml",  # per-layer mlp_2 head
+    "exp1-85/exp46.GENet_preact_Btl_last_fixed.yaml",  # grouped Btl stage
+    "exp85-114/exp96.BNet_d-softmax.yaml",  # my_loss_1 (sphere head)
+    "exp85-114/exp88.BNet_norm_temp.yaml",  # normalized+tempered CE
+    "first_attempts/densenet121_baseline.yaml",  # step-schedule port
+]
+
+
+@pytest.mark.parametrize("name", TRAIN_STEP_CONFIGS)
+def test_legacy_config_trains_one_step(name):
+    from sota_imagenet_tpu.data.pipeline import DeviceFeed, SyntheticLoader
+    from sota_imagenet_tpu.ops.augment import build_train_augment
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+    from sota_imagenet_tpu.train.loop import Runner
+    from sota_imagenet_tpu.train.schedule import phases_from_stages
+    from sota_imagenet_tpu.utils.misc import apply_sigmoid_trick
+
+    cfg = C.load(os.path.join(CONFIG_DIR, name), strict_env=False)
+    model = instantiate(cfg.model)
+    criterion = instantiate(cfg.criterion)
+    callbacks = [instantiate(c) for c in (cfg.run.extra_callbacks or [])]
+    stages = parse_stages([dict(start=0, end=1, lr=[0.01, 0.01])])
+    runner = Runner(
+        model,
+        criterion,
+        lambda sched: build_optimizer(dict(cfg.optim), sched),
+        lr_phases=phases_from_stages(stages),
+        input_dtype=jnp.float32,
+        callbacks=[c for c in callbacks if hasattr(c, "step_options")],
+    )
+    runner.init_state((4, 32, 32, 3))
+    if cfg.get("sigmoid_trick"):
+        runner.state = runner.state.replace(params=apply_sigmoid_trick(runner.state.params))
+    mesh = create_mesh()
+    host = SyntheticLoader(batch_size=8, image_size=32, num_classes=cfg.loader.num_classes, length=2)
+    feed = DeviceFeed(host, mesh, build_train_augment(num_classes=cfg.loader.num_classes, out_dtype=jnp.float32))
+    train_m, _ = runner.fit(feed, None, epochs=1, start_epoch=0)
+    assert np.isfinite(train_m["loss"]), train_m
+    assert np.isfinite(train_m["grad_norm"]), train_m
