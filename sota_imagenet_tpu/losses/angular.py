@@ -26,6 +26,8 @@ from flax import linen as nn
 from sota_imagenet_tpu.losses.base import Loss, StatefulLoss
 from sota_imagenet_tpu.losses.smooth import CrossEntropyLoss
 
+from sota_imagenet_tpu.utils.dtypes import at_least_f32
+
 EPS = 1e-7
 
 
@@ -33,7 +35,7 @@ def _to_onehot_and_idx(target: jnp.ndarray, num_classes: int):
     if target.ndim == 1:
         idx = target.astype(jnp.int32)
         return jax.nn.one_hot(idx, num_classes, dtype=jnp.float32), idx
-    onehot = target.astype(jnp.float32)
+    onehot = at_least_f32(target)
     return onehot, jnp.argmax(onehot, axis=-1).astype(jnp.int32)
 
 
@@ -56,7 +58,7 @@ class SphereLinearLayer(nn.Module):
     @nn.compact
     def __call__(self, x, **_):
         w = self.param("weight", nn.initializers.xavier_uniform(), (x.shape[-1], self.num_classes), jnp.float32)
-        xf = _l2norm(x.astype(jnp.float32))
+        xf = _l2norm(at_least_f32(x))
         wf = _l2norm(w, axis=0)
         return jnp.dot(xf, wf, preferred_element_type=jnp.float32)
 
@@ -83,7 +85,7 @@ class SphereMLPLayer(nn.Module):
         proj = nn.Dense(x.shape[-1], param_dtype=jnp.float32, name="fc2")(proj)
         use_proj = train or self.val_projector
         feat = proj if use_proj else x
-        xf = _l2norm(feat.astype(jnp.float32))
+        xf = _l2norm(at_least_f32(feat))
         wf = _l2norm(w, axis=0)
         return jnp.dot(xf, wf, preferred_element_type=jnp.float32)
 
@@ -104,7 +106,7 @@ class AdditiveAngularMarginLoss(Loss):
         self.final_criterion = final_criterion or CrossEntropyLoss()
 
     def __call__(self, cosine: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         onehot, _ = _to_onehot_and_idx(y_true, cosine.shape[-1])
         sine = jnp.sqrt(jnp.clip(1.0 - cosine**2, 0.0, None))
         phi = cosine * self.cos_m - sine * self.sin_m
@@ -122,7 +124,7 @@ class LargeMarginCosineLoss(Loss):
         self.final_criterion = final_criterion or CrossEntropyLoss()
 
     def __call__(self, cosine: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         onehot, _ = _to_onehot_and_idx(y_true, cosine.shape[-1])
         output = (onehot * (cosine - self.m) + (1.0 - onehot) * cosine) * self.s
         return self.final_criterion(output, y_true)
@@ -143,7 +145,7 @@ class AngularPenaltySMLoss(Loss):
         self.loss_type = loss_type
 
     def __call__(self, cosine: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
-        wf = cosine.astype(jnp.float32)
+        wf = at_least_f32(cosine)
         onehot, idx = _to_onehot_and_idx(y_true, wf.shape[-1])
         true_cos = jnp.take_along_axis(wf, idx[:, None], axis=1)[:, 0]
         tc = jnp.clip(true_cos, -1.0 + EPS, 1.0 - EPS)
@@ -193,7 +195,7 @@ class AdaCos(StatefulLoss):
 
     def __call__(self, cosine: jnp.ndarray, y_true: jnp.ndarray, state=None):
         state = state if state is not None else self.init_state()
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         onehot, idx = _to_onehot_and_idx(y_true, cosine.shape[-1])
 
         neg_mask = onehot == 0
@@ -234,7 +236,7 @@ class SphereMAELoss(Loss):
         self.threshold = threshold
 
     def __call__(self, cosine, y_true):
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         _, idx = _to_onehot_and_idx(y_true, cosine.shape[-1])
         theta = jnp.arccos(jnp.clip(jnp.take_along_axis(cosine, idx[:, None], 1)[:, 0], -1 + EPS, 1 - EPS))
         mask = theta > self.threshold
@@ -249,7 +251,7 @@ class SphereCosMAELoss(Loss):
         self.threshold = threshold
 
     def __call__(self, cosine, y_true):
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         _, idx = _to_onehot_and_idx(y_true, cosine.shape[-1])
         tc = jnp.take_along_axis(cosine, idx[:, None], 1)[:, 0]
         mask = tc < self.threshold
@@ -264,7 +266,7 @@ class NegativeContrastive(Loss):
         self.eta = eta
 
     def __call__(self, cosine, y_true):
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         onehot, _ = _to_onehot_and_idx(y_true, cosine.shape[-1])
         s = float(np.log(self.eta / (1 - self.eta))) + jnp.log(jnp.asarray(cosine.shape[1], jnp.float32))
         neg = jnp.where(onehot == 0, cosine, -1.0)
@@ -279,7 +281,7 @@ class DSoftmax_intra(Loss):
         self.threshold = threshold
 
     def __call__(self, cosine, y_true):
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         _, idx = _to_onehot_and_idx(y_true, cosine.shape[-1])
         tc = jnp.take_along_axis(cosine, idx[:, None], 1)[:, 0]
         s = 16.0
@@ -296,7 +298,7 @@ class MyLoss1(Loss):
         self.eta = eta
 
     def __call__(self, cosine, y_true):
-        cosine = cosine.astype(jnp.float32)
+        cosine = at_least_f32(cosine)
         onehot, idx = _to_onehot_and_idx(y_true, cosine.shape[-1])
         s_inter = float(np.log(self.eta / (1 - self.eta))) + jnp.log(jnp.asarray(cosine.shape[1], jnp.float32))
         neg = jnp.where(onehot == 0, cosine, -1.0)
@@ -310,7 +312,7 @@ class ArcCosSoftmax(CrossEntropyLoss):
     """CE over negative angles (reference angular_losses.py:572-576)."""
 
     def __call__(self, y_pred, y_true):
-        y_pred = -jnp.arccos(jnp.clip(y_pred.astype(jnp.float32), -1 + EPS, 1 - EPS))
+        y_pred = -jnp.arccos(jnp.clip(at_least_f32(y_pred), -1 + EPS, 1 - EPS))
         return super().__call__(y_pred, y_true)
 
 
@@ -323,7 +325,7 @@ class ArcCosSoftmaxCenter(CrossEntropyLoss):
         self.center_weight = center_weight
 
     def __call__(self, y_pred, y_true):
-        theta = jnp.arccos(jnp.clip(y_pred.astype(jnp.float32), -1 + EPS, 1 - EPS))
+        theta = jnp.arccos(jnp.clip(at_least_f32(y_pred), -1 + EPS, 1 - EPS))
         cce = super().__call__(-theta, y_true)
         _, idx = _to_onehot_and_idx(y_true, y_pred.shape[-1])
         center = jnp.mean(jnp.take_along_axis(theta, idx[:, None], 1) ** 2)

@@ -16,11 +16,13 @@ import jax.numpy as jnp
 
 from sota_imagenet_tpu.losses.base import Loss
 
+from sota_imagenet_tpu.utils.dtypes import at_least_f32
+
 
 def _as_soft_targets(target: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     if target.ndim == 1 or (target.ndim > 1 and target.shape[-1] != num_classes):
         return jax.nn.one_hot(target.astype(jnp.int32), num_classes, dtype=jnp.float32)
-    return target.astype(jnp.float32)
+    return at_least_f32(target)
 
 
 class CrossEntropyLoss(Loss):
@@ -45,7 +47,7 @@ class CrossEntropyLoss(Loss):
         self.reduction = reduction
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        logits = logits.astype(jnp.float32)
+        logits = at_least_f32(logits)
         if self.normalize:
             logits = logits / jnp.maximum(jnp.linalg.norm(logits, axis=-1, keepdims=True), 1e-12)
         if self.temperature is not None:
@@ -68,7 +70,7 @@ class FocalLoss(Loss):
         self.reduction = reduction
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        logits = logits.astype(jnp.float32)
+        logits = at_least_f32(logits)
         soft = _as_soft_targets(target, logits.shape[-1])
         logp = jax.nn.log_softmax(logits, axis=-1)
         p = jnp.exp(logp)
@@ -109,7 +111,7 @@ class BinaryFocalLoss(Loss):
         self.reduction = reduction
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        logits = logits.astype(jnp.float32)
+        logits = at_least_f32(logits)
         if self.temperature is not None:
             logits = logits / self.temperature
         t = _as_soft_targets(target, logits.shape[-1])
@@ -145,11 +147,11 @@ class BinaryKLDivLoss(Loss):
         self.smoothing = smoothing
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        logits = logits.astype(jnp.float32)
+        logits = at_least_f32(logits)
         t = _as_soft_targets(target, logits.shape[-1])
         if self.smoothing > 0:
             t = t * (1.0 - self.smoothing) + self.smoothing / logits.shape[-1]
-        t = jnp.clip(t.astype(jnp.float32), self.eps, 1.0 - self.eps)
+        t = jnp.clip(at_least_f32(t), self.eps, 1.0 - self.eps)
         p = jnp.clip(jax.nn.sigmoid(logits), self.eps, 1.0 - self.eps)
         kl = t * jnp.log(t / p) + (1.0 - t) * jnp.log((1.0 - t) / (1.0 - p))
         # 'none' keeps the (batch, classes) matrix — the hard-negative wrappers
@@ -166,7 +168,7 @@ class SigmoidLoss(Loss):
         self.reduction = reduction
 
     def __call__(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        logits = logits.astype(jnp.float32)
+        logits = at_least_f32(logits)
         soft = _as_soft_targets(target, logits.shape[-1])
         if self.smoothing > 0:
             soft = soft * (1.0 - self.smoothing) + self.smoothing / logits.shape[-1]

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from sota_imagenet_tpu.losses.base import Loss
 from sota_imagenet_tpu.losses.smooth import BinaryKLDivLoss
 
+from sota_imagenet_tpu.utils.dtypes import at_least_f32
+
 
 class HardNegativeWrapper(Loss):
     """Per-sample top-k% hard-negative mining over a reduction='none' loss
@@ -37,7 +39,7 @@ class FixMatchLoss(Loss):
         self.hard_pct = hard_pct
 
     def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
-        y_pred = y_pred.astype(jnp.float32)
+        y_pred = at_least_f32(y_pred)
         half = y_pred.shape[0] // 2
         if y_true.ndim == 1:
             y_true = jax.nn.one_hot(y_true.astype(jnp.int32), y_pred.shape[-1], dtype=jnp.float32)

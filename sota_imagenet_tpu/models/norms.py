@@ -35,6 +35,8 @@ from flax import linen as nn
 
 from sota_imagenet_tpu.models.layers import activation_from_name
 
+from sota_imagenet_tpu.utils.dtypes import at_least_f32
+
 Dtype = Any
 
 # Process-wide default for the BN statistics grouping, set once from
@@ -100,7 +102,7 @@ class _BNCore(nn.Module):
             xs = x if s == 1 else x[:, ::s, ::s, :]
             if x.shape[0] % g:
                 raise ValueError(f"bn_stats groups={g} must divide the batch ({x.shape[0]})")
-            xf = xs.astype(jnp.float32)
+            xf = at_least_f32(xs)
             if g > 1:
                 xf = xf.reshape(g, xs.shape[0] // g, *xs.shape[1:])
             mean = jnp.mean(xf, axis=(-4, -3, -2))  # (C,) or (g, C)
@@ -264,7 +266,7 @@ class EstimatedABN(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
         mean, var = ra_mean.value, ra_var.value
         if train and not self.is_initializing():
-            xf = x.astype(jnp.float32)
+            xf = at_least_f32(x)
             axes = tuple(range(x.ndim - 1))
             bmean = jnp.mean(xf, axis=axes)
             bvar = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(bmean)
@@ -301,7 +303,7 @@ class ScaleNorm(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
         else:
             scale = jnp.ones((1,), jnp.float32)
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
         out = xf * (scale / jnp.clip(norm, self.eps, None))
         return out.astype(x.dtype)
@@ -356,7 +358,7 @@ class FRNv1(nn.Module):
         weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32) if self.use_bias else 0.0
         running = self.variable("batch_stats", "running_var", lambda: jnp.ones((c,), jnp.float32))
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         if train:
             x2 = jnp.mean(xf**2, axis=(0, 1, 2))  # per-channel batch RMS²
             y = xf * jax.lax.rsqrt(x2 + self.eps)
@@ -385,7 +387,7 @@ class FRNv2(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         single_running = self.variable("batch_stats", "single_running_var", lambda: jnp.ones((), jnp.float32))
         running = self.variable("batch_stats", "running_var", lambda: jnp.ones((c,), jnp.float32))
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         if train:
             x2_ln = jnp.mean(xf**2, axis=(1, 2, 3), keepdims=True)  # per-sample
             y = xf * jax.lax.rsqrt(x2_ln + self.eps)
@@ -420,7 +422,7 @@ class VarEMA(nn.Module):
     def __call__(self, x, train: bool = False, **_):
         std_ema = self.variable("batch_stats", "std_ema", lambda: jnp.ones((), jnp.float32))
         mean_ema = self.variable("batch_stats", "mean_ema", lambda: jnp.zeros((), jnp.float32))
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         if train:
             std = jnp.std(xf)
             mean = jnp.mean(xf)
@@ -444,7 +446,7 @@ class MeanEMA(nn.Module):
 
     @nn.compact
     def __call__(self, x, **_):
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         return (xf - jnp.mean(xf, axis=(1, 2, 3), keepdims=True)).astype(x.dtype)
 
 
