@@ -178,10 +178,21 @@ class MeshConfig:
     # optimizer-state/head sharding experiments.
     data: int = -1
     model: int = 1
+    # spatial partitioning (SP): shard the image H dimension of model compute
+    # over this many devices — the CNN analog of sequence parallelism; conv
+    # halo exchanges are inserted by XLA GSPMD (parallel/mesh.image_sharding).
+    # Lets one sample's activations exceed a single chip's HBM (large-image
+    # stages); no reference analog (DDP cannot split a sample across GPUs).
+    spatial: int = 1
     # ZeRO-1: shard optimizer state (momenta/moments) over the data axis —
     # ~n_data-fold less optimizer memory per chip, identical numerics
     # (parallel/mesh.zero1_opt_sharding; beyond the reference's pure DDP)
     zero1: bool = False
+    # head tensor parallelism (model > 1): params whose path matches one of
+    # these substrings get their last (class) dim sharded over 'model' —
+    # vocab-parallel logits/loss for huge metric-learning heads
+    # (parallel/mesh.tp_sharding). None = ["fc", "head", "classifier"].
+    tp_params: Optional[List[str]] = None
 
 
 @dataclass

@@ -21,22 +21,76 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+def create_mesh(
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None, spatial: int = 1
+) -> Mesh:
+    """3-axis mesh ("data", "spatial", "model").
+
+    'data' carries batch parallelism (the reference's only strategy,
+    SURVEY.md §2.4). 'spatial' shards the image HEIGHT dimension of model
+    compute — the CNN analog of sequence parallelism; XLA's SPMD partitioner
+    inserts the conv halo exchanges automatically (see spatial docstring on
+    image_sharding). 'model' exists for head/optimizer-state sharding
+    experiments. Consecutive devices land on the same 'data' row, so on a
+    multi-host pod the spatial axis stays intra-host/ICI-local.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        if n % (model * spatial):
+            raise ValueError(f"{n} devices not divisible by spatial*model={spatial * model}")
+        data = n // (model * spatial)
+    if data * spatial * model != n:
+        raise ValueError(f"mesh {data}x{spatial}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, spatial, model)
+    return Mesh(arr, axis_names=("data", "spatial", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim sharded over 'data'; everything else replicated."""
     return NamedSharding(mesh, P("data"))
+
+
+def image_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """Sharding for NHWC model inputs: batch over 'data', H over 'spatial'.
+
+    Returns None when the mesh has no spatial axis (or it is size 1) — the
+    pure-DP fast path. With spatial > 1 every conv/pool over a sharded H is
+    partitioned by XLA GSPMD with automatic halo exchange; BN statistics stay
+    exact because reductions over a global array are global by construction.
+    This is the TPU-native way to fit larger images / activation footprints
+    than one chip's HBM allows (progressive-resize tail stages, full-crop
+    val) — no reference analog (DDP cannot split one sample across GPUs).
+
+    CONSTRAINT (validate_spatial_extent): the deepest feature map must keep
+    >= 2 rows per spatial shard. Measured on jax 0.8 CPU SPMD: when the
+    deepest stage's shards fall below the 3x3 halo (1-row or fractional-row
+    shards), the FORWARD stays exact but conv weight gradients come back
+    scaled by exactly the data-axis size (x4 on a 4x2 mesh, x2 on 2x4) —
+    a wrong-collective miscompilation, isolated in tests/test_spatial.py's
+    guard note. At >= 2 rows/shard everything is exact to f64 noise
+    (~1e-13, full ResNet-50).
+    """
+    if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return None
+
+
+def validate_spatial_extent(mesh: Mesh, image_size: int, max_stride: int = 32) -> None:
+    """Refuse spatial partitioning that would shard the deepest feature map
+    (image_size / max_stride rows) below 2 rows per device — the regime where
+    XLA SPMD miscompiles conv wgrad (see image_sharding docstring)."""
+    sp = dict(mesh.shape).get("spatial", 1)
+    if sp <= 1:
+        return
+    deepest = max(int(image_size) // int(max_stride), 1)
+    if deepest // sp < 2:
+        raise ValueError(
+            f"mesh.spatial={sp} leaves {deepest}/{sp} < 2 rows per shard at the deepest "
+            f"feature map (image {image_size}, max stride {max_stride}); XLA SPMD "
+            f"miscompiles conv gradients below the halo width — use image_size >= "
+            f"{2 * sp * max_stride} or a smaller spatial axis"
+        )
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
@@ -82,3 +136,52 @@ def apply_zero1(state: Any, mesh: Mesh) -> Any:
     sh = zero1_opt_sharding(mesh, state.opt_state)
     opt = jax.tree_util.tree_map(jax.device_put, state.opt_state, sh)
     return state.replace(opt_state=opt)
+
+
+_TP_DEFAULT_PATTERNS = ("fc", "head", "classifier")
+
+
+def tp_sharding(mesh: Mesh, tree: Any, patterns: Optional[Sequence[str]] = None) -> Any:
+    """Class-partitioned (vocab-parallel) head TP spec tree over 'model'.
+
+    Leaves whose tree path matches one of ``patterns`` get their LAST
+    dimension sharded over the 'model' axis: a head kernel (in, C) becomes
+    column-parallel and its bias (C,) class-sharded. Under global-view jit
+    each device then computes only its logit class-shard; softmax/CE
+    reductions over classes lower to psums over 'model' inserted by XLA —
+    no manual collectives. This is the one TP axis that matters for this
+    model family: metric-learning heads (losses/angular.py) scale to
+    millions of identities, where the classifier dominates memory. The
+    reference (pure DDP) replicates the head. Non-matching leaves (and
+    matching ones whose last dim is not divisible) stay replicated.
+    """
+    pats = tuple(p.lower() for p in (patterns or _TP_DEFAULT_PATTERNS))
+    n = mesh.shape["model"]
+
+    def spec(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        name = jax.tree_util.keystr(path).lower()
+        if n > 1 and shape and shape[-1] % n == 0 and any(p in name for p in pats):
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def apply_head_tp(state: Any, mesh: Mesh, patterns: Optional[Sequence[str]] = None) -> Any:
+    """Place a TrainState with head-TP shardings on params, EMA params and the
+    optimizer state (optax moment trees mirror param paths, so the head's
+    moments distribute with it). Semantics unchanged — tests/test_tp.py
+    asserts sharded == single-device."""
+
+    def put(tree):
+        if tree is None:
+            return None
+        sh = tp_sharding(mesh, tree, patterns)
+        return jax.tree_util.tree_map(jax.device_put, tree, sh)
+
+    return state.replace(
+        params=put(state.params),
+        ema_params=put(state.ema_params),
+        opt_state=put(state.opt_state),
+    )

@@ -91,7 +91,22 @@ def save_checkpoint(
     must call this (orbax writes each shard once, from its replica-0 owner)."""
     path = os.path.join(os.path.abspath(directory), name)
     finalize_checkpoints()  # at most one save in flight
-    payload = {"state": state, "epoch": np.asarray(epoch, np.int32)}
+
+    # Materialize fully-addressable arrays to host numpy HERE, synchronously.
+    # Handing device arrays to the AsyncCheckpointer lets its background
+    # thread issue device work, and on backends where programs synchronize
+    # through host-thread rendezvous (the virtual-CPU mesh) that work can
+    # interleave with the next train step's collectives and deadlock it —
+    # observed as a reproducible "collective permute ... 7 of 8 arrived"
+    # abort at the first spatially-partitioned step after a save. Non-
+    # addressable arrays (multi-host shards, e.g. ZeRO-1 on a pod) stay jax
+    # arrays so orbax's collective save path still writes each shard once.
+    def _to_host(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return np.asarray(x)
+        return x
+
+    payload = {"state": jax.tree_util.tree_map(_to_host, state), "epoch": np.asarray(epoch, np.int32)}
     tmp = f"{path}.new-{next(_SEQ)}"
     if _is_primary() and os.path.exists(tmp):  # leftover from a crashed run
         shutil.rmtree(tmp)

@@ -36,9 +36,21 @@ class Runner:
         ema_decay: float = 0.0,
         input_dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
+        image_sharding=None,  # spatial partitioning (parallel/mesh.image_sharding)
     ):
         self.model = model
         self.criterion = criterion
+        self.image_sharding = image_sharding
+        # The virtual-CPU mesh executes programs dataflow-style: pipelined
+        # steps run SKEWED across device threads, and with spatial
+        # partitioning each step carries rendezvous collectives (halo
+        # exchange) — the fixed executor pool fills with participants of
+        # DIFFERENT rendezvous and deadlocks (observed: "collective permute
+        # ... 7 of 8 arrived" hang at an epoch boundary). Serialize to one
+        # in-flight program on cpu+sp; real TPUs don't rendezvous host
+        # threads for ICI collectives, so the production path keeps its
+        # async pipeline.
+        self._serialize_dispatch = image_sharding is not None and jax.default_backend() == "cpu"
         if not callable(tx_factory) or isinstance(tx_factory, tuple):
             raise TypeError("Runner takes tx_factory: lr_schedule -> GradientTransformation")
         self.tx_factory = tx_factory
@@ -112,6 +124,7 @@ class Runner:
             accumulate_steps=self.accumulate_steps,
             ema_decay=self.ema_decay,
             input_dtype=self.input_dtype,
+            image_sharding=self.image_sharding,
             **opts,
         )
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -130,9 +143,16 @@ class Runner:
     def _build_eval_steps(self, model=None):
         if model is None:
             model = self._effective_model(self._collect_step_options())
-        self._eval_step = jax.jit(steps_lib.build_eval_step(model, self.criterion, input_dtype=self.input_dtype))
+        self._eval_step = jax.jit(
+            steps_lib.build_eval_step(
+                model, self.criterion, input_dtype=self.input_dtype, image_sharding=self.image_sharding
+            )
+        )
         self._eval_step_ema = jax.jit(
-            steps_lib.build_eval_step(model, self.criterion, input_dtype=self.input_dtype, use_ema=True)
+            steps_lib.build_eval_step(
+                model, self.criterion, input_dtype=self.input_dtype, use_ema=True,
+                image_sharding=self.image_sharding,
+            )
         )
 
     # ---------------- epoch loops ----------------
@@ -179,6 +199,8 @@ class Runner:
                     break
                 data_time += time.perf_counter() - td
                 self.state, m = self._train_step(self.state, batch, self.rng)
+                if self._serialize_dispatch:
+                    jax.block_until_ready(m)
                 dev_metrics.append(m)
                 step = int(i + epoch * spe)
                 for c in self.callbacks:
@@ -218,7 +240,10 @@ class Runner:
         for i, batch in enumerate(loader):
             if steps is not None and i >= steps:
                 break
-            dev_metrics.append(fn(self.state, batch))
+            m = fn(self.state, batch)
+            if self._serialize_dispatch:
+                jax.block_until_ready(m)
+            dev_metrics.append(m)
         if not dev_metrics:
             return {}
         host_list = jax.device_get(dev_metrics)

@@ -169,6 +169,7 @@ def build_train_step(
     grad_transform: Optional[Callable] = None,  # fn(grads, params) -> grads, e.g. AGC
     post_step_transform: Optional[Callable] = None,  # fn(params) -> params after the update (WeightNorm)
     input_dtype=jnp.bfloat16,
+    image_sharding=None,  # NamedSharding P('data','spatial'): spatial partitioning (mesh.image_sharding)
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     def loss_fn(params, batch_stats, loss_state, images, labels, rng):
         variables = {"params": params}
@@ -225,6 +226,12 @@ def build_train_step(
         images, labels = batch["image"], batch["label"]
         if mixup_fn is not None:
             images, labels = mixup_fn(k_mix, images, labels)
+        if image_sharding is not None:
+            # spatial partitioning: redistribute H over the 'spatial' mesh axis
+            # here (input arrives batch-sharded from the loader — augmentation
+            # is per-image); everything downstream (convs, pools, BN) is then
+            # partitioned by GSPMD with automatic halo exchange
+            images = jax.lax.with_sharding_constraint(images, image_sharding)
 
         def batch_grads(params, bs0, ls0, key):
             """Mean loss/grads over the batch — the SAME microbatch scan for
@@ -317,6 +324,7 @@ def build_eval_step(
     *,
     input_dtype=jnp.bfloat16,
     use_ema: bool = False,
+    image_sharding=None,  # NamedSharding P('data','spatial'): spatial partitioning (mesh.image_sharding)
 ) -> Callable[[TrainState, Batch], Dict[str, jnp.ndarray]]:
     def eval_step(state: TrainState, batch: Batch):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
@@ -324,7 +332,10 @@ def build_eval_step(
         variables = {"params": params}
         if bs:
             variables["batch_stats"] = bs
-        logits = model.apply(variables, batch["image"].astype(input_dtype), train=False)
+        images = batch["image"].astype(input_dtype)
+        if image_sharding is not None:
+            images = jax.lax.with_sharding_constraint(images, image_sharding)
+        logits = model.apply(variables, images, train=False)
         if "mask" in batch:
             # rectangular validation: padded samples are masked out; metrics
             # are exact masked means, "_weight" carries the real sample count

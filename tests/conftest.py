@@ -6,7 +6,13 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # the CPU runtime hard-aborts collectives whose participants don't all
+    # arrive within 40s; on this 1-core host a concurrent compile can starve
+    # a device thread past that (see train.py main for the full note)
+    flags = flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -54,6 +54,19 @@ def main(argv=None):
     # CPU smoke runs (JAX_PLATFORMS=cpu) work as documented
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        if "cpu" in os.environ["JAX_PLATFORMS"]:
+            # the XLA CPU runtime hard-aborts a collective whose participants
+            # don't all arrive within 40s — on a 1-core host running an
+            # 8-device mesh, a concurrent eager-op compile can starve a device
+            # thread past that and kill an otherwise-healthy run (observed
+            # with spatially-partitioned steps at 128px). Only meaningful on
+            # the virtual-CPU mesh; jax reads XLA_FLAGS at client creation,
+            # so appending here (before any jax.devices()) is effective.
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "collective_call_terminate_timeout" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    f"{flags} --xla_cpu_collective_call_terminate_timeout_seconds=600".strip()
+                )
 
     # multi-host init (no-op single-host); reference used NCCL env:// (train.py:61)
     if "JAX_COORDINATOR_ADDRESS" in os.environ:
@@ -108,8 +121,19 @@ def main(argv=None):
         set_random_seed(cfg.random_seed)
     rng = jax.random.PRNGKey(cfg.random_seed or 0)
 
-    mesh = create_mesh(data=cfg.mesh.data, model=cfg.mesh.model)
+    mesh = create_mesh(data=cfg.mesh.data, model=cfg.mesh.model, spatial=cfg.mesh.spatial)
     input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
+    from sota_imagenet_tpu.parallel.mesh import image_sharding as _image_sharding
+
+    img_sharding = _image_sharding(mesh)  # None unless mesh.spatial > 1
+    if img_sharding is not None:
+        # every stage's image size must keep >= 2 deepest-feature rows per
+        # spatial shard (XLA SPMD wgrad miscompilation below the conv halo —
+        # parallel/mesh.validate_spatial_extent)
+        from sota_imagenet_tpu.parallel.mesh import validate_spatial_extent
+
+        validate_spatial_extent(mesh, cfg.loader.image_size)
+        log.info(f"Spatial partitioning: image H sharded over {mesh.shape['spatial']} devices")
 
     # BN statistics view (global sync-BN / per-shard local / grouped) — a
     # process-wide trace-time setting, applied before model build
@@ -155,6 +179,12 @@ def main(argv=None):
     criterion = instantiate(cfg.criterion)
 
     stages = parse_stages(cfg.run.stages)
+    if img_sharding is not None:
+        # progressive-resize stages must also satisfy the spatial-shard floor
+        for st in stages:
+            sz = (st.extra_args or {}).get("image_size")
+            if sz:
+                validate_spatial_extent(mesh, sz)
     lr_phases = phases_from_stages(stages)
     log.info(f"Learning rate stages: {lr_phases}")
 
@@ -215,6 +245,7 @@ def main(argv=None):
         ema_decay=cfg.run.ema_decay,
         input_dtype=input_dtype,
         rng=rng,
+        image_sharding=img_sharding,
     )
     runner.state = probe_state.replace(opt_state=runner.tx.init(probe_state.params))
     log.info(f"Model params: {count_parameters(runner.state.params) / 1e6:.2f}M")
@@ -241,6 +272,13 @@ def main(argv=None):
 
         runner.state = apply_zero1(runner.state, mesh)
         log.info(f"ZeRO-1: optimizer state sharded over {mesh.shape['data']} data-parallel devices")
+
+    if mesh.shape["model"] > 1:
+        # head TP: class-partitioned logits/loss over the 'model' axis
+        from sota_imagenet_tpu.parallel.mesh import apply_head_tp
+
+        runner.state = apply_head_tp(runner.state, mesh, cfg.mesh.tp_params)
+        log.info(f"Head TP: matching params class-sharded over {mesh.shape['model']} devices")
 
     data_manager = DataManager(cfg, mesh, rng=jax.random.fold_in(rng, 777), out_dtype=input_dtype)
 
