@@ -172,13 +172,21 @@ def apply_head_tp(state: Any, mesh: Mesh, patterns: Optional[Sequence[str]] = No
     """Place a TrainState with head-TP shardings on params, EMA params and the
     optimizer state (optax moment trees mirror param paths, so the head's
     moments distribute with it). Semantics unchanged — tests/test_tp.py
-    asserts sharded == single-device."""
+    asserts sharded == single-device.
+
+    Only pattern-MATCHED leaves are re-placed; everything else keeps its
+    current placement, so composing with ZeRO-1 (apply_zero1 first, then
+    this) preserves the data-axis opt-state shards instead of silently
+    re-replicating them."""
+    empty = P()
 
     def put(tree):
         if tree is None:
             return None
         sh = tp_sharding(mesh, tree, patterns)
-        return jax.tree_util.tree_map(jax.device_put, tree, sh)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s) if s.spec != empty else x, tree, sh
+        )
 
     return state.replace(
         params=put(state.params),

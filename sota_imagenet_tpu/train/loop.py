@@ -37,20 +37,24 @@ class Runner:
         input_dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
         image_sharding=None,  # spatial partitioning (parallel/mesh.image_sharding)
+        serialize_dispatch: Optional[bool] = None,  # None -> auto (cpu + sp)
     ):
         self.model = model
         self.criterion = criterion
         self.image_sharding = image_sharding
         # The virtual-CPU mesh executes programs dataflow-style: pipelined
-        # steps run SKEWED across device threads, and with spatial
-        # partitioning each step carries rendezvous collectives (halo
-        # exchange) — the fixed executor pool fills with participants of
+        # steps run SKEWED across device threads, and any step carrying
+        # rendezvous collectives (sp halo exchange; ZeRO-1/head-TP
+        # all-gathers) fills the fixed executor pool with participants of
         # DIFFERENT rendezvous and deadlocks (observed: "collective permute
-        # ... 7 of 8 arrived" hang at an epoch boundary). Serialize to one
-        # in-flight program on cpu+sp; real TPUs don't rendezvous host
-        # threads for ICI collectives, so the production path keeps its
-        # async pipeline.
-        self._serialize_dispatch = image_sharding is not None and jax.default_backend() == "cpu"
+        # ... 7 of 8 arrived" / "all gather ..." hangs at epoch boundaries).
+        # Serialize to one in-flight program in those modes on cpu; train.py
+        # passes the full condition (sp OR tp OR zero1). Real TPUs don't
+        # rendezvous host threads for ICI collectives, so the production
+        # path keeps its async pipeline.
+        if serialize_dispatch is None:
+            serialize_dispatch = image_sharding is not None and jax.default_backend() == "cpu"
+        self._serialize_dispatch = serialize_dispatch
         if not callable(tx_factory) or isinstance(tx_factory, tuple):
             raise TypeError("Runner takes tx_factory: lr_schedule -> GradientTransformation")
         self.tx_factory = tx_factory

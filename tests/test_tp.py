@@ -24,6 +24,34 @@ from sota_imagenet_tpu.parallel.mesh import (
 from sota_imagenet_tpu.train import steps as steps_lib
 
 
+def test_tp_composes_with_zero1():
+    """apply_head_tp after apply_zero1 must keep ZeRO-1's data-axis opt-state
+    shards (only pattern-matched leaves are re-placed) while class-sharding
+    the head's params AND its optimizer moments."""
+    import jax.numpy as jnp
+
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import apply_zero1, replicate
+    from sota_imagenet_tpu.train import steps as steps_lib
+
+    mesh = create_mesh(data=2, model=4)
+    model = resnet18(dtype=jnp.float32)
+    tx = build_optimizer(
+        {"_target_": "sgd", "momentum": 0.9, "weight_decay": 1e-4}, lambda s: jnp.asarray(0.1)
+    )
+    state = steps_lib.init_state(model, tx, (2, 32, 32, 3), jax.random.PRNGKey(0), input_dtype=jnp.float32)
+    state = apply_head_tp(apply_zero1(jax.device_put(state, replicate(mesh)), mesh), mesh)
+    mom = next((s.trace for s in state.opt_state if hasattr(s, "trace")), None)
+    assert mom is not None
+    # a non-head momentum leaf keeps its ZeRO-1 'data' shard
+    conv_mom = mom["stem_conv"]["Conv_0"]["kernel"]
+    assert "data" in str(conv_mom.sharding.spec)
+    # the head's param and momentum are class-sharded over 'model'
+    assert state.params["fc"]["kernel"].sharding.shard_shape((512, 1000)) == (512, 250)
+    assert mom["fc"]["kernel"].sharding.shard_shape((512, 1000)) == (512, 250)
+
+
 def test_tp_spec_rules():
     mesh = create_mesh(data=2, model=4)
     tree = {

@@ -246,6 +246,10 @@ def main(argv=None):
         input_dtype=input_dtype,
         rng=rng,
         image_sharding=img_sharding,
+        # rendezvous-collective modes deadlock pipelined dispatch on the
+        # virtual-CPU mesh (see Runner docstring); pure DP has no rendezvous
+        serialize_dispatch=jax.default_backend() == "cpu"
+        and (img_sharding is not None or mesh.shape["model"] > 1 or cfg.mesh.zero1),
     )
     runner.state = probe_state.replace(opt_state=runner.tx.init(probe_state.params))
     log.info(f"Model params: {count_parameters(runner.state.params) / 1e6:.2f}M")
