@@ -22,6 +22,9 @@ REFERENCE_IMG_PER_SEC_PER_CHIP = 90 * 1_281_167 / (10 * 3600 + 41.7 * 60) / 4  #
 
 
 def main():
+    from sota_imagenet_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     from sota_imagenet_tpu.losses import CrossEntropyLoss
     from sota_imagenet_tpu.models import resnet50
     from sota_imagenet_tpu.optim import build_optimizer

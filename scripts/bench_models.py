@@ -98,6 +98,9 @@ def bench_eval(name: str, model, bs: int, size: int, iters: int = 30) -> dict:
 
 def main(names):
     from sota_imagenet_tpu.models import resnet50  # noqa: F401  (import check)
+    from sota_imagenet_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
 
     def r50():
         from sota_imagenet_tpu.models import resnet50

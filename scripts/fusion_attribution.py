@@ -105,6 +105,9 @@ def main():
         import jax
         import jax.numpy as jnp
 
+        from sota_imagenet_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache()
         from sota_imagenet_tpu.config import instantiate
         from sota_imagenet_tpu.losses import CrossEntropyLoss
         from sota_imagenet_tpu.optim import build_optimizer

@@ -11,6 +11,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent on-disk compilation cache (XLA executables keyed by HLO +
+    compile options). On this environment TPU compiles go through a remote
+    compile service that can queue for many minutes (CLAUDE.md); caching the
+    compiled executable locally makes repeat runs of the same program
+    (bench.py, the soak's relaunch, the driver's round-end gates) immune to
+    that queue. Safe no-op if the backend doesn't support serialization."""
+    import os
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser("~/.cache/jax_comp_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything, even fast compiles: the cost here is queue latency,
+        # not compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # unknown config name on an older jax — never fatal
+        pass
+
+
 def set_random_seed(seed: int) -> None:
     """Seed host RNGs (reference pt.utils.misc.set_random_seed, train.py:56).
     Device randomness is functional in JAX: pass jax.random keys explicitly."""

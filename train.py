@@ -72,6 +72,10 @@ def main(argv=None):
     if "JAX_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
 
+    from sota_imagenet_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sota_imagenet_tpu import config as C
     from sota_imagenet_tpu.config import instantiate, parse_stages
     from sota_imagenet_tpu.data.pipeline import DataManager
