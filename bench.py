@@ -21,10 +21,32 @@ import jax.numpy as jnp
 REFERENCE_IMG_PER_SEC_PER_CHIP = 90 * 1_281_167 / (10 * 3600 + 41.7 * 60) / 4  # ≈ 748.6
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """The axon TPU tunnel occasionally reports UNAVAILABLE for minutes at a
+    time (observed round 3); retry initialization instead of failing the
+    driver's round-end gate on a transient."""
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or time.monotonic() > deadline:
+                raise
+            time.sleep(60)
+            try:  # jax memoizes the init failure; drop it before retrying
+                from jax._src.xla_bridge import _clear_backends
+
+                _clear_backends()
+            except Exception:
+                pass
+
+
 def main():
     from sota_imagenet_tpu.utils.misc import enable_compilation_cache
 
     enable_compilation_cache()
+    _wait_for_backend()
     from sota_imagenet_tpu.losses import CrossEntropyLoss
     from sota_imagenet_tpu.models import resnet50
     from sota_imagenet_tpu.optim import build_optimizer
