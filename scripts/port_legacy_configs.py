@@ -156,6 +156,9 @@ def port_one(cfg: dict, src_rel: str, txt: str) -> dict:
         loader.update(translate_data_args(first))
         if "val_sz" in first:
             val_loader["image_size"] = int(first["val_sz"])
+            # the legacy runner honored an explicit val size; without this the
+            # DataManager would overwrite it with the train stage size
+            val_loader["follow_train_size"] = False
     total_end = 0
     for ph in lr_ph:
         total_end = max(total_end, int(ph["ep"][1]))
@@ -199,9 +202,19 @@ def port_one(cfg: dict, src_rel: str, txt: str) -> dict:
                 stage["lr_mode"] = mode
             if (a, b) != (s, e):
                 stage["lr_ep"] = [a, b]
-        delta = {k: v for k, v in folded.items() if base_args.get(k) != v}
-        if delta and folded != prev_args:
-            stage["extra_args"] = delta
+        if folded != prev_args:
+            delta = {k: v for k, v in folded.items() if base_args.get(k) != v}
+            if not delta:
+                # the stage reverts every loader key exactly to the base
+                # values: extra_args vs base is empty, but DataManager's
+                # "no extra_args -> keep current loader" fast path would then
+                # keep the PREVIOUS stage's loader. Emit the reverted keys
+                # explicitly (at their base values) to force the rebuild.
+                delta = {
+                    k: base_args[k] for k in prev_args if k in base_args and prev_args[k] != base_args[k]
+                }
+            if delta:
+                stage["extra_args"] = delta
         prev_args = dict(folded) if folded else dict(base_args)
         stages.append(stage)
 

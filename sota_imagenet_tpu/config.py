@@ -114,6 +114,10 @@ class ValLoaderConfig(LoaderConfig):
     # aspect-bucketed rectangular validation (closes the reference TODO,
     # dali_dataloader.py:5): 3 static crop shapes + masked exact metrics
     rectangular: bool = False
+    # reference semantics: val image_size follows the train stage size
+    # (dali_dataloader.py:228). Set False to pin an explicit val size (legacy
+    # flat-schema `val_sz`, e.g. BResNet50_encoder validates at 288).
+    follow_train_size: bool = True
 
 
 @dataclass

@@ -251,6 +251,7 @@ class FolderLoader:
                                 self.image_size,
                                 min_area=self.min_area,
                                 random_interpolation=self.random_interpolation,
+                                interpolation=self.interpolation,
                             ),
                             zip(idxs, rngs),
                         )
@@ -265,6 +266,8 @@ class FolderLoader:
                 if n_real < bs:  # pad tail batch (only when drop_last=False)
                     pad = np.repeat(stacked[-1:], bs - n_real, axis=0)
                     stacked = np.concatenate([stacked, pad])
+                    if meta is not None:  # keep batch dims consistent for DeviceFeed
+                        meta = np.concatenate([meta, np.repeat(meta[-1:], bs - n_real, axis=0)])
                 labels = np.asarray([self.shard_labels[i] for i in idxs], dtype=np.int32)
                 if len(labels) < bs:
                     labels = np.concatenate([labels, np.full(bs - len(labels), -1, np.int32)])
@@ -635,7 +638,8 @@ class DataManager:
         accum = int(self.cfg.run.get("accumulate_steps", 1) or 1)
         if accum > 1:
             train_cfg["batch_size"] = int(train_cfg["batch_size"]) * accum
-        val_cfg["image_size"] = train_cfg["image_size"]  # val follows train (dali_dataloader.py:228)
+        if val_cfg.get("follow_train_size", True):
+            val_cfg["image_size"] = train_cfg["image_size"]  # val follows train (dali_dataloader.py:228)
         # legacy classes_divisor applies to the whole run — val labels are
         # merged the same way so metrics live in the shrunken label space
         val_cfg["classes_divisor"] = train_cfg.get("classes_divisor", 1)

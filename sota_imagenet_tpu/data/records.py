@@ -461,8 +461,17 @@ class TFRecordLoader:
             imgs, failed, dims_out = self._exec.wait_scaled(ticket)
             meta = np.concatenate([dims_out, np.asarray(filts, np.int32)[:, None]], axis=1)
             for fi in failed:
+                # per-slot rng (deterministic per epoch/sample) + the loader's
+                # filter settings, so rare non-JPEG slots keep the same crop /
+                # interpolation distributions as the healthy path.
                 img, sh, sw, filt = D.decode_train_scaled(
-                    jpegs[fi], np.random.default_rng(0), self.image_size, min_area=self.min_area, use_native=False
+                    jpegs[fi],
+                    rngs[fi],
+                    self.image_size,
+                    min_area=self.min_area,
+                    random_interpolation=self.random_interpolation,
+                    interpolation=self.interpolation,
+                    use_native=False,
                 )
                 imgs[fi] = img
                 meta[fi] = (sh, sw, filt)
@@ -471,7 +480,13 @@ class TFRecordLoader:
         imgs, failed = self._exec.wait(ticket)
         for fi in failed:
             imgs[fi] = D.decode_train(
-                jpegs[fi], np.random.default_rng(0), self.image_size, min_area=self.min_area, use_native=False
+                jpegs[fi],
+                rngs[fi],
+                self.image_size,
+                min_area=self.min_area,
+                random_interpolation=self.random_interpolation,
+                interpolation=self.interpolation,
+                use_native=False,
             )
         return imgs
 

@@ -394,7 +394,7 @@ class BNet(nn.Module):
         elif ht in ("mobilenetv3", "mobilenetv3_norm"):
             # exp31: "mobilenetv3 head - GAP before last expansion"
             x = jnp.mean(x, axis=(1, 2))
-            x = nn.Dense(self.head_width, dtype=dt, param_dtype=jnp.float32, name="head_fc")(x)
+            x = nn.Dense(self.head_width, dtype=dt or x.dtype, param_dtype=jnp.float32, name="head_fc")(x)
             if ht == "mobilenetv3_norm":
                 x = BatchNorm(dtype=dt, name="head_norm")(x[:, None, None, :], train=train)[:, 0, 0, :]
             x = act(x)
@@ -404,12 +404,12 @@ class BNet(nn.Module):
             # head_width may be per-layer (exp53 "head_width: [1536, 2560]")
             widths = list(self.head_width) if isinstance(self.head_width, (list, tuple)) else [self.head_width] * n
             for i in range(n):
-                x = nn.Dense(widths[min(i, len(widths) - 1)], dtype=dt, param_dtype=jnp.float32, name=f"head_fc{i}")(x)
+                x = nn.Dense(widths[min(i, len(widths) - 1)], dtype=dt or x.dtype, param_dtype=jnp.float32, name=f"head_fc{i}")(x)
                 x = act(x)
         elif ht in ("mlp_bn_fc", "mlp_bn_fc_bn"):
             x = jnp.mean(x, axis=(1, 2))
             x = BatchNorm(dtype=dt, name="head_bn0")(x[:, None, None, :], train=train)[:, 0, 0, :]
-            x = nn.Dense(self.head_width, dtype=dt, param_dtype=jnp.float32, name="head_fc")(x)
+            x = nn.Dense(self.head_width, dtype=dt or x.dtype, param_dtype=jnp.float32, name="head_fc")(x)
             if ht == "mlp_bn_fc_bn":
                 x = BatchNorm(dtype=dt, name="head_bn1")(x[:, None, None, :], train=train)[:, 0, 0, :]
             x = act(x)
@@ -431,7 +431,11 @@ class BNet(nn.Module):
             x = SphereLinearLayer(embedding_size=x.shape[-1], num_classes=self.num_classes, name="fc")(x)
         else:
             x = nn.Dense(
-                self.num_classes, dtype=dt, param_dtype=jnp.float32, kernel_init=nn.initializers.normal(0.01), name="fc"
+                self.num_classes,
+                dtype=dt or x.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.01),
+                name="fc",
             )(x)
         return x.astype(jnp.float32)
 

@@ -114,7 +114,7 @@ class Darknet53(nn.Module):
                     idx += 1
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
-        x = nn.Dense(self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc")(x)
+        x = nn.Dense(self.num_classes, dtype=dt or x.dtype, param_dtype=jnp.float32, name="fc")(x)
         return x.astype(jnp.float32)
 
 
@@ -155,7 +155,7 @@ class DenseNet121(nn.Module):
         x = BatchNorm(dtype=dt, name="final_bn")(x, train=train)
         x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc")(x)
+        x = nn.Dense(self.num_classes, dtype=dt or x.dtype, param_dtype=jnp.float32, name="fc")(x)
         return x.astype(jnp.float32)
 
 
@@ -230,7 +230,7 @@ class EfficientNetB0(nn.Module):
         x = _CBA(out_chs=1280, kernel_size=1, activation=self.norm_act, dtype=dt, name="head")(x, train=train)
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
-        x = nn.Dense(self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc")(x)
+        x = nn.Dense(self.num_classes, dtype=dt or x.dtype, param_dtype=jnp.float32, name="fc")(x)
         return x.astype(jnp.float32)
 
 
@@ -271,7 +271,7 @@ class TResNetM(nn.Module):
                 in_chs = planes * block.expansion
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
-        x = nn.Dense(self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc")(x)
+        x = nn.Dense(self.num_classes, dtype=dt or x.dtype, param_dtype=jnp.float32, name="fc")(x)
         return x.astype(jnp.float32)
 
 

@@ -155,7 +155,13 @@ class NFNet(nn.Module):
         x = act(x)
         x = jnp.mean(x, axis=(1, 2))
         x = Dropout(rate=self.drop_rate)(x, train=train)
-        x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32, kernel_init=nn.initializers.normal(0.01), name="fc")(x)
+        x = nn.Dense(
+            self.num_classes,
+            dtype=self.dtype or x.dtype,  # follow activation dtype (see layers.Linear)
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.01),
+            name="fc",
+        )(x)
         return x.astype(jnp.float32)
 
 

@@ -419,7 +419,12 @@ def rmsprop(
 
     def init(params):
         z = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return RMSpropState(jnp.zeros((), jnp.int32), z, z, z)
+        # grad_avg/buf are only read when centered/momentum are on; allocate a
+        # scalar placeholder otherwise (torch allocates these lazily too) so a
+        # default RMSprop doesn't carry two dead param-sized trees in HBM.
+        ga = z if centered else jnp.zeros((), jnp.float32)
+        buf = z if momentum else jnp.zeros((), jnp.float32)
+        return RMSpropState(jnp.zeros((), jnp.int32), z, ga, buf)
 
     def update(grads, state, params):
         lr = _lr_at(learning_rate, state.count)

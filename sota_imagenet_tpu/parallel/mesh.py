@@ -158,10 +158,26 @@ def tp_sharding(mesh: Mesh, tree: Any, patterns: Optional[Sequence[str]] = None)
     pats = tuple(p.lower() for p in (patterns or _TP_DEFAULT_PATTERNS))
     n = mesh.shape["model"]
 
+    def matches(path) -> bool:
+        # A pattern must name a path COMPONENT (or an underscore-token of one,
+        # with an optional numeric suffix: fc / fc1 / head_fc2). Substring
+        # matching would also hit unrelated params (e.g. 'fconv3' for 'fc')
+        # and class-shard hot conv kernels over the model axis.
+        import re
+
+        for entry in path:
+            key = getattr(entry, "key", getattr(entry, "name", None))
+            if not isinstance(key, str):
+                continue
+            for tok in re.split(r"[^0-9a-z]+", key.lower()):
+                for p in pats:
+                    if tok == p or (tok.startswith(p) and tok[len(p) :].isdigit()):
+                        return True
+        return False
+
     def spec(path, leaf):
         shape = getattr(leaf, "shape", ())
-        name = jax.tree_util.keystr(path).lower()
-        if n > 1 and shape and shape[-1] % n == 0 and any(p in name for p in pats):
+        if n > 1 and shape and shape[-1] % n == 0 and matches(path):
             return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + ["model"])))
         return NamedSharding(mesh, P())
 

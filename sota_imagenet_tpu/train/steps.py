@@ -343,7 +343,8 @@ def build_eval_step(
             # partial). Loss uses per-sample reduction when the criterion
             # supports it.
             mask = batch["mask"].astype(jnp.float32)
-            n = jnp.maximum(jnp.sum(mask), 1.0)
+            n_real = jnp.sum(mask)  # true sample count (can be 0: all-padding batch)
+            n = jnp.maximum(n_real, 1.0)  # division floor only
             from sota_imagenet_tpu.train.metrics import accuracy_topk
 
             m = {
@@ -362,7 +363,10 @@ def build_eval_step(
             else:  # stateful/complex criteria: loss over the full batch incl. pads
                 loss, _ = call_criterion(criterion, logits, batch["label"], state.loss_state)
                 m["loss"] = loss.astype(jnp.float32)
-            m["_weight"] = n
+            # weight by the TRUE count so an all-padding batch contributes 0,
+            # not a phantom sample of accuracy 0 (the floor is only to avoid
+            # a 0/0 in the per-batch means above).
+            m["_weight"] = n_real
             return m
         loss, _ = call_criterion(criterion, logits, batch["label"], state.loss_state)
         return classification_metrics(logits, batch["label"], loss)

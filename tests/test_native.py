@@ -88,3 +88,23 @@ def test_native_is_faster_than_pil():
     # don't assert hard (CI noise) but record; native should not be slower by much
     print(f"native {t_native:.3f}s vs PIL {t_pil:.3f}s")
     assert t_native < t_pil * 2.0
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])  # 4:4:4, 4:2:2, 4:2:0
+def test_skip_scanlines_bit_identical(subsampling):
+    """The crop fast path skips rows above the crop with jpeg_skip_scanlines
+    (imgpipe.cpp). libjpeg-turbo documents possible context-row differences
+    for subsampled JPEGs around the resume point; on the pinned libjpeg this
+    is measured bit-identical at every offset (incl. non-MCU-aligned). This
+    pins that: a diff here means the skip path must revert to read-and-discard."""
+    rng = np.random.default_rng(1)
+    img = Image.fromarray((rng.random((256, 320, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=92, subsampling=subsampling)
+    data = buf.getvalue()
+    w, h = native.jpeg_dims(data)
+    full = native.decode_crop_resize(data, (0, 0, w, h), (w, h))
+    for y0 in (1, 7, 8, 15, 16, 33, 129):
+        ch = 64
+        out = native.decode_crop_resize(data, (0, y0, w, ch), (w, ch))
+        np.testing.assert_array_equal(out, full[y0 : y0 + ch])

@@ -180,3 +180,33 @@ def test_plain_val_tail_batch_masked_exact(mesh8, corpus):
         accs1.append(float(accuracy_topk(logits, onehot, 1)))
     np.testing.assert_allclose(got["Acc@1"], np.mean(accs1), atol=1e-3)
     np.testing.assert_allclose(got["loss"], np.mean(losses), rtol=1e-4)
+
+
+def test_all_padding_batch_contributes_zero_weight(mesh8):
+    """A batch whose mask is all zeros (RectValLoader's trailing bucket
+    batches can be pure padding) must report _weight == 0 so Runner.evaluate
+    drops it — not a phantom sample of accuracy 0."""
+    from sota_imagenet_tpu.train.steps import build_eval_step, init_state
+
+    model = CModel(
+        layer_config=[
+            {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [8, 2]},
+        ]
+    )
+    crit = CrossEntropyLoss(smoothing=0.1)
+    tx = build_optimizer({"_target_": "sgd"}, lambda s: jnp.asarray(0.1))
+    state = init_state(model, tx, (4, 32, 32, 3), jax.random.PRNGKey(0), input_dtype=jnp.float32)
+    step = build_eval_step(model, crit, input_dtype=jnp.float32)
+    batch = {
+        "image": jnp.zeros((4, 32, 32, 3), jnp.float32),
+        "label": jax.nn.one_hot(jnp.zeros((4,), jnp.int32), 2),
+        "mask": jnp.zeros((4,), jnp.float32),
+    }
+    m = jax.jit(step)(state, batch)
+    assert float(m["_weight"]) == 0.0
+    assert np.isfinite(float(m["Acc@1"])) and np.isfinite(float(m["loss"]))
+    # a half-real batch still weights by the true count
+    m2 = jax.jit(step)(state, {**batch, "mask": jnp.asarray([1, 1, 0, 0], jnp.float32)})
+    assert float(m2["_weight"]) == 2.0

@@ -58,12 +58,18 @@ def test_tp_spec_rules():
         "fc": {"kernel": jnp.zeros((16, 1000)), "bias": jnp.zeros((1000,))},
         "conv": {"kernel": jnp.zeros((3, 3, 8, 1000))},  # no pattern match
         "head": {"kernel": jnp.zeros((16, 10))},  # 10 % 4 != 0 -> replicated
+        # patterns match path COMPONENTS (underscore tokens, optional numeric
+        # suffix) — NOT substrings: 'fconv3' must not class-shard for 'fc'
+        "fconv3": {"kernel": jnp.zeros((1, 1, 8, 1000))},
+        "head_fc1": {"kernel": jnp.zeros((16, 1000))},
     }
     specs = tp_sharding(mesh, tree)
     assert specs["fc"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
     assert specs["fc"]["bias"].spec == jax.sharding.PartitionSpec("model")
     assert specs["conv"]["kernel"].spec == jax.sharding.PartitionSpec()
     assert specs["head"]["kernel"].spec == jax.sharding.PartitionSpec()
+    assert specs["fconv3"]["kernel"].spec == jax.sharding.PartitionSpec()
+    assert specs["head_fc1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
 
 
 def test_tp_train_step_matches_single_device():
