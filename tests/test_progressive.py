@@ -99,3 +99,26 @@ def test_accumulate_steps_scales_effective_batch(mesh8):
     assert batch["image"].shape[0] == 16  # 8 * accumulate_steps
     vbatch = next(iter(dm.val_loader))
     assert vbatch["image"].shape[0] == 8  # val unaffected
+
+
+def test_pinned_val_size_survives_stages(mesh8):
+    """val_loader.follow_train_size=false pins an explicit val image size
+    across stage rebuilds (legacy flat-schema `val_sz`, e.g. BResNet50_encoder
+    validates at 288 while training at 224)."""
+    cfg = load(strict_env=False)
+    cfg.loader.backend = "synthetic"
+    cfg.val_loader.backend = "synthetic"
+    cfg.loader.batch_size = 8
+    cfg.val_loader.batch_size = 8
+    cfg.loader.image_size = 16
+    cfg.val_loader.image_size = 32
+    cfg.val_loader.follow_train_size = False
+    cfg.run.stages = [
+        dict(start=0, end=1, lr=[0.05, 0.05]),
+        dict(start=1, end=2, lr=[0.05, 0.0], extra_args=dict(image_size=24)),
+    ]
+    dm = DataManager(cfg, mesh8, out_dtype=jnp.float32)
+    for idx, train_sz in ((0, 16), (1, 24)):
+        dm.set_stage(idx)
+        assert next(iter(dm.loader))["image"].shape[1] == train_sz
+        assert next(iter(dm.val_loader))["image"].shape[1] == 32  # pinned
