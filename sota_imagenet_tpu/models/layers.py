@@ -13,6 +13,7 @@ statistics (weight standardization, norms) are always computed in float32.
 from __future__ import annotations
 
 import math
+from functools import partial as _partial
 from typing import Any, Callable, Optional, Union
 
 import jax
@@ -174,8 +175,48 @@ class GEMPoolChannel(nn.Module):
         return out.astype(x.dtype)
 
 
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _nonoverlap_max_pool(x, w: int):
+    n, h, wd, c = x.shape
+    return jnp.max(x.reshape(n, h // w, w, wd // w, w, c), axis=(2, 4))
+
+
+def _nmp_fwd(x, w: int):
+    return _nonoverlap_max_pool(x, w), x
+
+
+def _nmp_bwd(w: int, x, g):
+    # Route the gradient to the FIRST max in window row-major order — the
+    # same element XLA's select-and-scatter picks — using only elementwise
+    # ops and cumsums over the tiny window axes (all fusible). This is the
+    # whole point of the fast path: reduce_window's backward lowers to
+    # select_and_scatter, which is far off HBM speed-of-light on TPU, and
+    # VGG-style nets run five of them over their largest activations.
+    n, h, wd, c = x.shape
+    hp, wp = h // w, wd // w
+    xr = x.reshape(n, hp, w, wp, w, c)
+    y = jnp.max(xr, axis=(2, 4), keepdims=True)
+    eq = xr == y
+    row_any = jnp.any(eq, axis=4, keepdims=True).astype(jnp.int32)
+    rows_before = jnp.cumsum(row_any, axis=2) - row_any  # maxes in earlier rows
+    within = jnp.cumsum(eq.astype(jnp.int32), axis=4) - eq  # earlier in this row
+    first = eq & (rows_before == 0) & (within == 0)
+    gx = jnp.where(first, g.reshape(n, hp, 1, wp, 1, c).astype(x.dtype), 0)
+    return (gx.reshape(n, h, wd, c),)
+
+
+_nonoverlap_max_pool.defvjp(_nmp_fwd, _nmp_bwd)
+
+
 def max_pool(x, window: int = 3, stride: int = 2, padding: int = 1):
-    """torch-style MaxPool2d(window, stride, padding) in NHWC."""
+    """torch-style MaxPool2d(window, stride, padding) in NHWC.
+
+    Non-overlapping pools (window == stride, no padding, divisible dims —
+    e.g. VGG's MaxPool2d(2, 2)) take a reshape-max fast path whose backward
+    is elementwise instead of XLA select_and_scatter (tie-routing matches:
+    first max in window order gets the gradient)."""
+    if window == stride and padding == 0 and x.shape[1] % window == 0 and x.shape[2] % window == 0:
+        return _nonoverlap_max_pool(x, window)
     return nn.max_pool(
         x,
         window_shape=(window, window),

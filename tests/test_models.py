@@ -162,3 +162,25 @@ def test_nfnet_signal_propagation():
     out = m.apply(variables, x, train=False)
     assert np.isfinite(np.asarray(out)).all()
     assert float(jnp.std(out)) < 50.0
+
+
+def test_nonoverlap_max_pool_fast_path_matches_reduce_window():
+    """VGG-style MaxPool2d(2,2) takes a reshape-max fast path (backward is
+    elementwise instead of XLA select_and_scatter). Forward AND backward must
+    be bit-identical to flax nn.max_pool, including tie routing (post-ReLU
+    zero windows are the common tie case)."""
+    from flax import linen as nn
+
+    from sota_imagenet_tpu.models.layers import max_pool
+
+    rng = np.random.default_rng(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for w in (2, 3):
+            x = jnp.asarray(rng.standard_normal((2, 12, 12, 5)), dtype)
+            x = jnp.where(x < 0, 0.0, x).astype(dtype)  # ReLU-like ties
+            ref = lambda t: nn.max_pool(t, window_shape=(w, w), strides=(w, w), padding=((0, 0), (0, 0)))
+            np.testing.assert_array_equal(np.asarray(max_pool(x, w, w, 0)), np.asarray(ref(x)))
+            g = jnp.asarray(rng.standard_normal((2, 12 // w, 12 // w, 5)), dtype)
+            gn = jax.grad(lambda t: jnp.sum(max_pool(t, w, w, 0).astype(jnp.float32) * g.astype(jnp.float32)))(x)
+            gr = jax.grad(lambda t: jnp.sum(ref(t).astype(jnp.float32) * g.astype(jnp.float32)))(x)
+            np.testing.assert_array_equal(np.asarray(gn, np.float32), np.asarray(gr, np.float32))
