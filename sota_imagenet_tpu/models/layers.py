@@ -208,21 +208,72 @@ def _nmp_bwd(w: int, x, g):
 _nonoverlap_max_pool.defvjp(_nmp_fwd, _nmp_bwd)
 
 
+def _reduce_window_max(x, w: int, s: int, p: int):
+    return nn.max_pool(x, window_shape=(w, w), strides=(s, s), padding=((p, p), (p, p)))
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _overlap_max_pool(x, w: int, s: int, p: int):
+    return _reduce_window_max(x, w, s, p)
+
+
+def _omp_fwd(x, w: int, s: int, p: int):
+    return _overlap_max_pool(x, w, s, p), x
+
+
+def _omp_bwd(w: int, s: int, p: int, x, g):
+    # Overlapping-pool backward without select_and_scatter: per window,
+    # argmax over the w*w strided views picks the first max (window scan
+    # order, same element XLA's select-and-scatter routes to); each offset's
+    # contribution is placed back by an interior-dilated lax.pad and the w*w
+    # pads sum — all fusible pad/where/add, no scatter.
+    n, h, wd, c = x.shape
+    hp = (h + 2 * p - w) // s + 1
+    wp = (wd + 2 * p - w) // s + 1
+    h2, w2 = h + 2 * p, wd + 2 * p
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=neg)
+    views = [
+        xp[:, a : a + (hp - 1) * s + 1 : s, b : b + (wp - 1) * s + 1 : s, :]
+        for a in range(w)
+        for b in range(w)
+    ]
+    am = jnp.argmax(jnp.stack(views), axis=0)  # (n, hp, wp, c): first max per window
+    zero = jnp.asarray(0, x.dtype)
+    acc = None
+    for k in range(w * w):
+        a, b = divmod(k, w)
+        gk = jnp.where(am == k, g.astype(x.dtype), zero)
+        part = jax.lax.pad(
+            gk,
+            zero,
+            (
+                (0, 0, 0),
+                (a, h2 - a - (hp - 1) * s - 1, s - 1),
+                (b, w2 - b - (wp - 1) * s - 1, s - 1),
+                (0, 0, 0),
+            ),
+        )
+        acc = part if acc is None else acc + part
+    return (acc[:, p : h2 - p, p : w2 - p, :],)
+
+
+_overlap_max_pool.defvjp(_omp_fwd, _omp_bwd)
+
+
 def max_pool(x, window: int = 3, stride: int = 2, padding: int = 1):
     """torch-style MaxPool2d(window, stride, padding) in NHWC.
 
-    Non-overlapping pools (window == stride, no padding, divisible dims —
-    e.g. VGG's MaxPool2d(2, 2)) take a reshape-max fast path whose backward
-    is elementwise instead of XLA select_and_scatter (tie-routing matches:
-    first max in window order gets the gradient)."""
+    Both shapes avoid XLA's select_and_scatter backward (far off HBM
+    speed-of-light on TPU): non-overlapping pools (window == stride, no
+    padding, divisible dims — VGG's MaxPool2d(2, 2)) reshape+max with an
+    elementwise VJP; overlapping ones (the resnet/BNet stem MaxPool(3, 2, 1))
+    keep the reduce_window forward but back-propagate via per-offset argmax
+    routing + dilated pads. Tie-routing matches select_and_scatter (first
+    max in window order) bit-for-bit in both paths."""
     if window == stride and padding == 0 and x.shape[1] % window == 0 and x.shape[2] % window == 0:
         return _nonoverlap_max_pool(x, window)
-    return nn.max_pool(
-        x,
-        window_shape=(window, window),
-        strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-    )
+    return _overlap_max_pool(x, window, stride, padding)
 
 
 class MaxPool(nn.Module):

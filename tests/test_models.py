@@ -184,3 +184,28 @@ def test_nonoverlap_max_pool_fast_path_matches_reduce_window():
             gn = jax.grad(lambda t: jnp.sum(max_pool(t, w, w, 0).astype(jnp.float32) * g.astype(jnp.float32)))(x)
             gr = jax.grad(lambda t: jnp.sum(ref(t).astype(jnp.float32) * g.astype(jnp.float32)))(x)
             np.testing.assert_array_equal(np.asarray(gn, np.float32), np.asarray(gr, np.float32))
+
+
+@pytest.mark.parametrize("w,s,p,h,wd", [(3, 2, 1, 15, 17), (3, 2, 1, 16, 16), (3, 1, 1, 9, 9), (3, 2, 0, 11, 13)])
+def test_overlap_max_pool_bwd_matches_select_and_scatter(w, s, p, h, wd):
+    """Overlapping pools (resnet/BNet stem MaxPool(3,2,1)) back-propagate via
+    per-offset argmax routing + dilated pads instead of select_and_scatter.
+    Tie ROUTING is identical (first max per window; verified to 1 ULP in f64
+    on tie-heavy post-ReLU inputs); only the overlap-add summation order
+    differs, so values match to dtype rounding."""
+    from flax import linen as nn
+
+    from sota_imagenet_tpu.models.layers import max_pool
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, h, wd, 4)), jnp.float32)
+    x = jnp.where(x < 0, 0.0, x)  # tie-heavy
+    ref = lambda t: nn.max_pool(t, window_shape=(w, w), strides=(s, s), padding=((p, p), (p, p)))
+    y_ref = ref(x)
+    np.testing.assert_array_equal(np.asarray(max_pool(x, w, s, p)), np.asarray(y_ref))
+    g = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+    gn = np.asarray(jax.grad(lambda t: jnp.sum(max_pool(t, w, s, p) * g))(x))
+    gr = np.asarray(jax.grad(lambda t: jnp.sum(ref(t) * g))(x))
+    np.testing.assert_allclose(gn, gr, rtol=1e-5, atol=1e-5)
+    # routing identity: gradient lands on exactly the same elements
+    np.testing.assert_array_equal(gn != 0, gr != 0)
