@@ -156,6 +156,14 @@ class RunnerConfig:
     # train.py:114; removes every BN all-reduce from the pod step), or an int
     # group count (ghost BN). See models/norms.py module docstring.
     bn_stats: Any = "global"
+    # Activation rematerialization (jax.checkpoint over the loss closure):
+    # false (keep all residuals), 'full'/true (recompute everything in
+    # backward — max HBM saving, ~1 extra forward of FLOPs), or 'convs'
+    # (save conv/matmul outputs, recompute only the bandwidth-bound tail —
+    # MXU work never redone). Trades FLOPs for HBM to fit bigger
+    # batches/images; torch needs hand-wrapped torch.utils.checkpoint for
+    # this (no reference analog). See train/steps.remat_policy.
+    remat: Any = False
     extra_callbacks: List[Any] = field(default_factory=list)
     evaluate: bool = False
 

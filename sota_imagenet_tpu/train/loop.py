@@ -34,6 +34,7 @@ class Runner:
         callbacks: Optional[List[Callback]] = None,
         accumulate_steps: int = 1,
         ema_decay: float = 0.0,
+        remat: Any = False,  # activation rematerialization (run.remat): False | 'full' | 'convs'
         input_dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
         image_sharding=None,  # spatial partitioning (parallel/mesh.image_sharding)
@@ -65,6 +66,7 @@ class Runner:
         self.callbacks = callbacks or []
         self.accumulate_steps = accumulate_steps
         self.ema_decay = ema_decay
+        self.remat = remat
         self.input_dtype = input_dtype
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.state: Optional[TrainState] = None
@@ -127,6 +129,7 @@ class Runner:
             lr_schedule,
             accumulate_steps=self.accumulate_steps,
             ema_decay=self.ema_decay,
+            remat=self.remat,
             input_dtype=self.input_dtype,
             image_sharding=self.image_sharding,
             **opts,

@@ -155,6 +155,33 @@ def _unitwise_norm(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(x**2, axis=axes, keepdims=True))
 
 
+def remat_policy(remat: Any):
+    """Map ``run.remat`` to a jax.checkpoint policy.
+
+    * ``True`` / ``'full'`` — save nothing (jax.checkpoint default): the whole
+      forward is recomputed during backward. Max memory saving, costs ~one
+      extra forward of FLOPs.
+    * ``'convs'`` — save conv/matmul OUTPUTS only, recompute the cheap
+      bandwidth-bound tail (BN/act/pool). The CNN analog of the transformer
+      "save dots" policy: MXU work is never redone, and the residuals XLA
+      keeps shrink to one tensor per conv instead of every fused intermediate.
+
+    No reference analog — torch keeps every autograd intermediate unless the
+    user hand-wraps blocks in torch.utils.checkpoint; here it is one config
+    knob applied at the loss closure, uniform over every model family.
+    """
+    if remat in (True, "full"):
+        return None  # jax.checkpoint default: nothing saveable
+
+    if remat == "convs":
+
+        def save_matmuls(prim, *_, **__):
+            return prim.name in ("conv_general_dilated", "dot_general")
+
+        return save_matmuls
+    raise ValueError(f"run.remat must be false | true | 'full' | 'convs', got {remat!r}")
+
+
 def build_train_step(
     model: nn.Module,
     criterion: Callable,
@@ -168,6 +195,7 @@ def build_train_step(
     sam: Optional[Dict[str, Any]] = None,  # {kind: 'sam'|'asam'|'asam_unitwise', rho, eta}
     grad_transform: Optional[Callable] = None,  # fn(grads, params) -> grads, e.g. AGC
     post_step_transform: Optional[Callable] = None,  # fn(params) -> params after the update (WeightNorm)
+    remat: Any = False,  # activation rematerialization: False | True/'full' | 'convs'
     input_dtype=jnp.bfloat16,
     image_sharding=None,  # NamedSharding P('data','spatial'): spatial partitioning (mesh.image_sharding)
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
@@ -186,6 +214,12 @@ def build_train_step(
         if aux_loss is not None:
             loss = loss + aux_loss(params)
         return loss, (updated.get("batch_stats", batch_stats), new_loss_state, logits)
+
+    if remat:
+        # Rematerialize the whole forward+loss closure under the chosen
+        # policy. Numerics are bit-identical (same ops replayed with the same
+        # rng); only the residual set XLA keeps across fwd→bwd changes.
+        loss_fn = jax.checkpoint(loss_fn, policy=remat_policy(remat))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

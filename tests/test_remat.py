@@ -1,0 +1,124 @@
+"""Activation rematerialization (``run.remat``).
+
+The reference keeps every autograd intermediate (torch default; users must
+hand-wrap blocks in torch.utils.checkpoint). Here remat is one config knob:
+the loss closure is wrapped in jax.checkpoint (train/steps.py), with policy
+'full' (recompute everything) or 'convs' (save conv/matmul outputs only).
+These tests pin (a) exact numerics vs the unremat step, (b) the residual-set
+shrink XLA actually realizes (peak temp bytes from memory_analysis), and
+(c) policy validation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sota_imagenet_tpu.losses import CrossEntropyLoss
+from sota_imagenet_tpu.models.resnet import resnet18
+from sota_imagenet_tpu.optim import build_optimizer
+from sota_imagenet_tpu.train import steps as steps_lib
+
+
+def _sched(count):
+    return jnp.asarray(0.1, jnp.float32)
+
+
+def _make(remat, model, crit, tx):
+    return steps_lib.build_train_step(model, crit, tx, _sched, remat=remat, input_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("remat", ["full", "convs"])
+def test_remat_numerics_identical(remat):
+    """Remat replays the same ops with the same rng: the updated params must
+    match the unremat step to float rounding (bitwise on this CPU backend)."""
+    model = resnet18(num_classes=10)
+    crit = CrossEntropyLoss(smoothing=0.1)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9, "weight_decay": 1e-4}, _sched)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (4, 32, 32, 3))
+    labels = jax.nn.one_hot(jax.random.randint(rng, (4,), 0, 10), 10)
+    batch = {"image": images, "label": labels}
+
+    s0 = steps_lib.init_state(model, tx, (2, 32, 32, 3), rng, input_dtype=jnp.float32)
+    base, _ = _make(False, model, crit, tx)(s0, batch, rng)
+    s0b = steps_lib.init_state(model, tx, (2, 32, 32, 3), rng, input_dtype=jnp.float32)
+    rem, _ = _make(remat, model, crit, tx)(s0b, batch, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(base.params), jax.tree_util.tree_leaves(rem.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(base.batch_stats), jax.tree_util.tree_leaves(rem.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def _loss_closure(model, images, labels, rng, bs):
+    def loss_fn(p):
+        logits, _ = model.apply(
+            {"params": p, "batch_stats": bs}, images, train=True, mutable=["batch_stats"], rngs={"dropout": rng}
+        )
+        return jnp.mean(jnp.sum(-labels * jax.nn.log_softmax(logits), -1))
+
+    return loss_fn
+
+
+def test_remat_shrinks_saved_residuals():
+    """The point of remat: the ACTIVATION residuals jax saves across fwd->bwd
+    (what occupies HBM between the passes on TPU) must shrink — to ~zero for
+    'full' (only params/constants survive) and to just the conv outputs for
+    'convs'. XLA:CPU's memory_analysis can't see this (its thunk scheduler
+    isn't memory-minimizing), so assert at the jax residual level, which is
+    what the TPU compiler's buffer assignment consumes."""
+    # private helper (public API only offers print_saved_residuals)
+    from jax._src.ad_checkpoint import saved_residuals
+
+    model = resnet18(num_classes=10)
+    rng = jax.random.PRNGKey(0)
+    v = model.init({"params": rng, "dropout": rng}, jnp.zeros((2, 32, 32, 3)), train=True)
+    params, bs = v["params"], v.get("batch_stats", {})
+    images = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    labels = jax.nn.one_hot(jnp.zeros((8,), jnp.int32), 10)
+    base = _loss_closure(model, images, labels, rng, bs)
+
+    def act_bytes(f):
+        res = saved_residuals(f, params)
+        return sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a, d in res
+            if "from the argument" not in d and "constant" not in d
+        )
+
+    b_off = act_bytes(base)
+    b_full = act_bytes(jax.checkpoint(base))
+    b_convs = act_bytes(jax.checkpoint(base, policy=steps_lib.remat_policy("convs")))
+    assert b_full <= 0.02 * b_off, (b_off, b_convs, b_full)
+    assert 0 < b_convs <= 0.4 * b_off, (b_off, b_convs, b_full)
+
+
+def test_remat_convs_policy_never_recomputes_matmuls():
+    """'convs' must not redo MXU work: the traced backward contains exactly as
+    many convolutions as the unremat step, while 'full' re-runs every forward
+    conv during the backward pass."""
+    model = resnet18(num_classes=10)
+    rng = jax.random.PRNGKey(0)
+    v = model.init({"params": rng, "dropout": rng}, jnp.zeros((2, 32, 32, 3)), train=True)
+    params, bs = v["params"], v.get("batch_stats", {})
+    images = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    labels = jax.nn.one_hot(jnp.zeros((4,), jnp.int32), 10)
+    base = _loss_closure(model, images, labels, rng, bs)
+
+    def n_convs(f):
+        # value_and_grad, like the train step: with plain grad, XLA DCEs the
+        # unused primal forward and every policy trivially shows one forward
+        text = jax.jit(jax.value_and_grad(f)).lower(params).as_text()
+        return text.count("stablehlo.convolution")
+
+    c_off = n_convs(base)
+    c_convs = n_convs(jax.checkpoint(base, policy=steps_lib.remat_policy("convs")))
+    c_full = n_convs(jax.checkpoint(base))
+    assert c_convs == c_off, (c_off, c_convs, c_full)
+    # resnet18 has 20 forward convs; 'full' replays all of them in backward
+    assert c_full == c_off + 20, (c_off, c_convs, c_full)
+
+
+def test_remat_policy_rejects_unknown():
+    with pytest.raises(ValueError, match="run.remat"):
+        steps_lib.remat_policy("blocks")

@@ -247,6 +247,7 @@ def main(argv=None):
         callbacks=callbacks,
         accumulate_steps=cfg.run.accumulate_steps,
         ema_decay=cfg.run.ema_decay,
+        remat=cfg.run.remat,
         input_dtype=input_dtype,
         rng=rng,
         image_sharding=img_sharding,
