@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--ema", action="store_true", help="export the EMA weights")
     ap.add_argument("--batch", default="poly", help="fixed batch size or 'poly' (symbolic)")
     ap.add_argument("--image-size", type=int, default=None)
+    ap.add_argument(
+        "--quantize",
+        choices=["int8"],
+        default=None,
+        help="per-output-channel int8 weight quantization (~2x smaller artifact; "
+        "dequantized at load, logits typically within 1e-2 relative)",
+    )
     args = ap.parse_args()
 
     from sota_imagenet_tpu import config as C
@@ -78,8 +85,14 @@ def main():
         variables["batch_stats"] = bstats
 
     bs = None if args.batch == "poly" else int(args.batch)
-    out = export_inference(model, variables, args.out, image_size=size, batch_size=bs, input_dtype=input_dtype)
-    print(f"exported epoch-{epoch} weights -> {out} (batch={'symbolic' if bs is None else bs}, size={size})")
+    out = export_inference(
+        model, variables, args.out, image_size=size, batch_size=bs, input_dtype=input_dtype, quantize=args.quantize
+    )
+    print(
+        f"exported epoch-{epoch} weights -> {out} (batch={'symbolic' if bs is None else bs}, size={size}"
+        + (f", quantize={args.quantize}" if args.quantize else "")
+        + ")"
+    )
 
 
 if __name__ == "__main__":

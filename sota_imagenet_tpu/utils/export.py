@@ -30,25 +30,51 @@ import numpy as np
 from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
 
 
-def _save_tree(path: str, tree) -> None:
+def _save_tree(path: str, tree, quantize: Optional[str] = None) -> None:
     """npz with enumerated array keys + a JSON path table — robust to dict
     keys that themselves contain '/' (e.g. the spectral-norm state's
-    'conv/kernel' entries), which a separator-joined flat format is not."""
+    'conv/kernel' entries), which a separator-joined flat format is not.
+
+    quantize='int8': conv/dense kernels (float leaves named 'kernel', ndim≥2)
+    are stored as symmetric per-output-channel int8 + an fp32 scale row
+    (`a{i}` int8, `a{i}_s` scales); everything else (biases, norm affines,
+    running stats) stays full precision. Kernels are ~99% of the bytes, so
+    the artifact roughly halves vs fp32 / matches bf16 — and unlike a bf16
+    cast the 8-bit grid + per-channel scaling keeps ~2 extra mantissa bits
+    of relative resolution within each channel. Dequantized at load
+    (`_load_tree`), so the serialized StableHLO program is unchanged."""
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     paths = [[str(getattr(k, "key", k)) for k in p] for p, _ in flat]
-    arrays = {f"a{i}": np.asarray(v) for i, (_, v) in enumerate(flat)}
-    np.savez(path, __paths__=json.dumps(paths), **arrays)
+    arrays = {}
+    qdtypes = {}
+    for i, (p, v) in enumerate(flat):
+        a = np.asarray(v)
+        leaf = str(getattr(p[-1], "key", p[-1])) if p else ""
+        if quantize == "int8" and leaf == "kernel" and a.ndim >= 2 and np.issubdtype(a.dtype, np.floating):
+            axes = tuple(range(a.ndim - 1))  # flax kernels are (..., out)
+            amax = np.max(np.abs(a.astype(np.float32)), axis=axes, keepdims=True)
+            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+            arrays[f"a{i}"] = np.clip(np.rint(a.astype(np.float32) / scale), -127, 127).astype(np.int8)
+            arrays[f"a{i}_s"] = scale
+            qdtypes[str(i)] = str(a.dtype)
+        else:
+            arrays[f"a{i}"] = a
+    np.savez(path, __paths__=json.dumps(paths), __quant__=json.dumps(qdtypes), **arrays)
 
 
 def _load_tree(path: str):
     z = np.load(path, allow_pickle=False)
     paths = json.loads(str(z["__paths__"]))
+    qdtypes = json.loads(str(z["__quant__"])) if "__quant__" in z else {}
     tree: dict = {}
     for i, parts in enumerate(paths):
         node = tree
         for q in parts[:-1]:
             node = node.setdefault(q, {})
-        node[parts[-1]] = jnp.asarray(z[f"a{i}"])
+        a = z[f"a{i}"]
+        if str(i) in qdtypes:  # dequantize once at load; serving math is unchanged
+            a = (a.astype(np.float32) * z[f"a{i}_s"]).astype(np.dtype(qdtypes[str(i)]))
+        node[parts[-1]] = jnp.asarray(a)
     return tree
 
 
@@ -85,6 +111,7 @@ def export_inference(
     batch_size: Optional[int] = None,
     input_dtype=jnp.bfloat16,
     platforms: Tuple[str, ...] = ("tpu", "cpu"),
+    quantize: Optional[str] = None,  # 'int8': per-channel weight quantization (see _save_tree)
 ) -> str:
     """Serialize the jitted forward. batch_size=None exports with a SYMBOLIC
     batch dimension (one artifact serves any batch size)."""
@@ -104,13 +131,16 @@ def export_inference(
     blob = exported.serialize()
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
-    _save_tree(os.path.join(out_dir, "params.npz"), variables)
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+    _save_tree(os.path.join(out_dir, "params.npz"), variables, quantize=quantize)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
             {
                 "image_size": image_size,
                 "batch_size": batch_size,
                 "input_dtype": str(jnp.dtype(input_dtype)),
+                "quantize": quantize,
                 "platforms": list(platforms),
                 "in_tree": "fn(variables, images_u8_nhwc) -> logits_f32",
             },
