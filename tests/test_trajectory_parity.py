@@ -12,6 +12,9 @@ The torch twin implements the reference's training semantics directly:
 torch.optim.SGD with coupled L2 (param-groups split by ndim, the
 filter_from_weight_decay rule), nn.BatchNorm2d (momentum 0.1, eps 1e-5),
 F.cross_entropy(label_smoothing=...) / soft-target CE, lr set per step.
+The 'adamw' variant swaps in torch.optim.AdamW vs our optax adamw (the
+NFNet-recipe optimizer, 15.eca_nfnet_l0.yaml) — decoupled-decay coupling,
+bias correction, and eps placement all ride the same 9-step pointwise gate.
 
 Both twins run in float64, and the comparison is two-phase, because this
 training dynamics is measurably CHAOTIC: the platform noise floor (different
@@ -99,10 +102,13 @@ class _TorchResNet18(tnn.Module):
         return self.fc(self.avgpool(x).flatten(1))
 
 
-def _lr_at(step: int) -> float:
-    """Linear warmup 0 -> PEAK_LR over WARMUP updates, then constant — the
+PEAK_BY_OPTIM = {"sgd": PEAK_LR, "adamw": 1e-3}  # adam-scale lr for the adamw leg
+
+
+def _lr_at(step: int, peak: float = PEAK_LR) -> float:
+    """Linear warmup 0 -> peak over WARMUP updates, then constant — the
     reference's warmup stage shape (load_optimizer/PhasesScheduler)."""
-    return PEAK_LR * min((step + 1) / WARMUP, 1.0)
+    return peak * min((step + 1) / WARMUP, 1.0)
 
 
 def _make_batches(mixed: bool):
@@ -121,16 +127,17 @@ def _make_batches(mixed: bool):
     return images, onehot
 
 
-def _torch_trajectory(tm, images, soft_labels, n_steps, ema_decay=0.0):
+def _torch_trajectory(tm, images, soft_labels, n_steps, ema_decay=0.0, optim="sgd"):
     tm.double()
     decay, no_decay = [], []
     for p in tm.parameters():
         (decay if p.dim() > 1 else no_decay).append(p)
-    opt = torch.optim.SGD(
-        [{"params": decay, "weight_decay": WD}, {"params": no_decay, "weight_decay": 0.0}],
-        lr=_lr_at(0),
-        momentum=MOMENTUM,
-    )
+    groups = [{"params": decay, "weight_decay": WD}, {"params": no_decay, "weight_decay": 0.0}]
+    if optim == "adamw":
+        # the NFNet-recipe optimizer (15.eca_nfnet_l0.yaml): decoupled decay
+        opt = torch.optim.AdamW(groups, lr=_lr_at(0), betas=(0.9, 0.999), eps=1e-8)
+    else:
+        opt = torch.optim.SGD(groups, lr=_lr_at(0), momentum=MOMENTUM)
     ema = {k: v.detach().clone() for k, v in tm.state_dict().items()} if ema_decay else None
     losses = []
     tm.train()
@@ -139,7 +146,7 @@ def _torch_trajectory(tm, images, soft_labels, n_steps, ema_decay=0.0):
         x = torch.tensor(images[b]).double().permute(0, 3, 1, 2)
         soft = torch.tensor(soft_labels[b]).double()
         for g in opt.param_groups:
-            g["lr"] = _lr_at(step)
+            g["lr"] = _lr_at(step, PEAK_BY_OPTIM[optim])
         opt.zero_grad()
         logits = tm(x)
         smoothed = soft * (1.0 - SMOOTH) + SMOOTH / N_CLASSES
@@ -157,14 +164,19 @@ def _torch_trajectory(tm, images, soft_labels, n_steps, ema_decay=0.0):
     return losses, ema
 
 
-def _jax_trajectory(params, stats, images, soft_labels, n_steps, ema_decay=0.0):
+def _jax_trajectory(params, stats, images, soft_labels, n_steps, ema_decay=0.0, optim="sgd"):
     model = resnet18(num_classes=N_CLASSES, dtype=jnp.float64)
     crit = CrossEntropyLoss(smoothing=SMOOTH)
     to64 = lambda tree: jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x), jnp.float64), tree)
     params, stats = to64(params), to64(stats)
-    sched = lambda step: PEAK_LR * jnp.minimum((step.astype(jnp.float64) + 1) / WARMUP, 1.0)
+    peak = PEAK_BY_OPTIM[optim]
+    sched = lambda step: peak * jnp.minimum((step.astype(jnp.float64) + 1) / WARMUP, 1.0)
     wd_mask = filter_from_weight_decay(params, [])
-    tx = build_optimizer({"_target_": "sgd", "momentum": MOMENTUM, "weight_decay": WD}, sched, wd_mask=wd_mask)
+    if optim == "adamw":
+        ocfg = {"_target_": "adamw", "betas": [0.9, 0.999], "eps": 1e-8, "weight_decay": WD}
+    else:
+        ocfg = {"_target_": "sgd", "momentum": MOMENTUM, "weight_decay": WD}
+    tx = build_optimizer(ocfg, sched, wd_mask=wd_mask)
     step_fn = jax.jit(
         steps_lib.build_train_step(model, crit, tx, sched, ema_decay=ema_decay, input_dtype=jnp.float64)
     )
@@ -237,18 +249,19 @@ def _flat(tree):
 PARITY_STEPS = 9  # measured chaos onset: drift jumps 8e-6 -> 2e-3 at step 9 (mixup variant)
 
 
-@pytest.mark.parametrize("variant", ["plain", "ema_mixup"])
+@pytest.mark.parametrize("variant", ["plain", "ema_mixup", "adamw"])
 def test_trajectory_tracks_torch_twin(variant):
     mixed = variant == "ema_mixup"
     ema_decay = 0.99 if mixed else 0.0
+    optim = "adamw" if variant == "adamw" else "sgd"
     images, soft = _make_batches(mixed)
 
     jax.config.update("jax_enable_x64", True)
     try:
         # ---- phase 1: pointwise parity over the pre-chaos horizon ----
         tm, params, stats, sd0 = _setup_twins()
-        t_losses, t_ema = _torch_trajectory(tm, images, soft, PARITY_STEPS, ema_decay=ema_decay)
-        j_losses, j_state = _jax_trajectory(params, stats, images, soft, PARITY_STEPS, ema_decay=ema_decay)
+        t_losses, t_ema = _torch_trajectory(tm, images, soft, PARITY_STEPS, ema_decay=ema_decay, optim=optim)
+        j_losses, j_state = _jax_trajectory(params, stats, images, soft, PARITY_STEPS, ema_decay=ema_decay, optim=optim)
         np.testing.assert_allclose(j_losses, t_losses, rtol=0, atol=1e-4)
 
         sd1 = {k: v.numpy().copy() for k, v in tm.state_dict().items() if "num_batches" not in k}
@@ -267,8 +280,8 @@ def test_trajectory_tracks_torch_twin(variant):
 
         # ---- phase 2: envelope agreement over the chaotic horizon ----
         tm2, params2, stats2, _ = _setup_twins()
-        t_long, _ = _torch_trajectory(tm2, images, soft, N_STEPS, ema_decay=ema_decay)
-        j_long, _ = _jax_trajectory(params2, stats2, images, soft, N_STEPS, ema_decay=ema_decay)
+        t_long, _ = _torch_trajectory(tm2, images, soft, N_STEPS, ema_decay=ema_decay, optim=optim)
+        j_long, _ = _jax_trajectory(params2, stats2, images, soft, N_STEPS, ema_decay=ema_decay, optim=optim)
     finally:
         jax.config.update("jax_enable_x64", False)
 
