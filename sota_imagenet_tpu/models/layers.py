@@ -175,6 +175,10 @@ class GEMPoolChannel(nn.Module):
         return out.astype(x.dtype)
 
 
+# NOTE: custom_vjp is reverse-mode-only — jax.jvp/jacfwd/higher-order grads
+# through max_pool raise. If a forward-mode use case appears (HVP optimizers,
+# sharpness metrics), add a defjvp rule or gate these on a flag; plain
+# nn.max_pool is the drop-in fallback.
 @_partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _nonoverlap_max_pool(x, w: int):
     n, h, wd, c = x.shape

@@ -38,34 +38,51 @@ def _save_tree(path: str, tree, quantize: Optional[str] = None) -> None:
     quantize='int8': conv/dense kernels (float leaves named 'kernel', ndim≥2)
     are stored as symmetric per-output-channel int8 + an fp32 scale row
     (`a{i}` int8, `a{i}_s` scales); everything else (biases, norm affines,
-    running stats) stays full precision. Kernels are ~99% of the bytes, so
-    the artifact roughly halves vs fp32 / matches bf16 — and unlike a bf16
-    cast the 8-bit grid + per-channel scaling keeps ~2 extra mantissa bits
-    of relative resolution within each channel. Dequantized at load
-    (`_load_tree`), so the serialized StableHLO program is unchanged."""
+    running stats) stays full precision. Kernels are ~99% of the bytes and
+    store 4x smaller than fp32, so the artifact lands ~3-4x smaller than an
+    fp32 export (test_export.py asserts <0.35x) — and unlike a bf16 cast the
+    8-bit grid + per-channel scaling keeps ~2 extra mantissa bits of
+    relative resolution within each channel. Dequantized at load
+    (`_load_tree`), so the serialized StableHLO program is unchanged.
+
+    Raises if quantize was requested but no leaf qualified (e.g. a params
+    tree with no 'kernel' arrays) — a silent full-precision artifact stamped
+    quantize='int8' in meta.json would be a contract violation."""
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     paths = [[str(getattr(k, "key", k)) for k in p] for p, _ in flat]
     arrays = {}
     qdtypes = {}
+    vdtypes = {}
     for i, (p, v) in enumerate(flat):
         a = np.asarray(v)
         leaf = str(getattr(p[-1], "key", p[-1])) if p else ""
-        if quantize == "int8" and leaf == "kernel" and a.ndim >= 2 and np.issubdtype(a.dtype, np.floating):
+        # jnp.issubdtype (not np.): ml_dtypes floats like bfloat16 are NOT
+        # np.floating subtypes, and a bf16 params tree must still quantize.
+        if quantize == "int8" and leaf == "kernel" and a.ndim >= 2 and jnp.issubdtype(a.dtype, jnp.floating):
             axes = tuple(range(a.ndim - 1))  # flax kernels are (..., out)
             amax = np.max(np.abs(a.astype(np.float32)), axis=axes, keepdims=True)
             scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
             arrays[f"a{i}"] = np.clip(np.rint(a.astype(np.float32) / scale), -127, 127).astype(np.int8)
             arrays[f"a{i}_s"] = scale
             qdtypes[str(i)] = str(a.dtype)
+        elif a.dtype.kind == "V":
+            # ml_dtypes customs (bfloat16, fp8s) npz-roundtrip as raw void,
+            # which numpy/jnp can't consume — store bit-viewed through a uint
+            # carrier and record the real dtype for the load-time view back.
+            arrays[f"a{i}"] = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+            vdtypes[str(i)] = str(a.dtype)
         else:
             arrays[f"a{i}"] = a
-    np.savez(path, __paths__=json.dumps(paths), __quant__=json.dumps(qdtypes), **arrays)
+    if quantize == "int8" and not qdtypes:
+        raise ValueError("quantize='int8' requested but no float 'kernel' leaf (ndim>=2) was found to quantize")
+    np.savez(path, __paths__=json.dumps(paths), __quant__=json.dumps(qdtypes), __views__=json.dumps(vdtypes), **arrays)
 
 
 def _load_tree(path: str):
     z = np.load(path, allow_pickle=False)
     paths = json.loads(str(z["__paths__"]))
     qdtypes = json.loads(str(z["__quant__"])) if "__quant__" in z else {}
+    vdtypes = json.loads(str(z["__views__"])) if "__views__" in z else {}
     tree: dict = {}
     for i, parts in enumerate(paths):
         node = tree
@@ -74,6 +91,8 @@ def _load_tree(path: str):
         a = z[f"a{i}"]
         if str(i) in qdtypes:  # dequantize once at load; serving math is unchanged
             a = (a.astype(np.float32) * z[f"a{i}_s"]).astype(np.dtype(qdtypes[str(i)]))
+        elif str(i) in vdtypes:  # bit-view back to the ml_dtypes custom
+            a = a.view(np.dtype(vdtypes[str(i)]))
         node[parts[-1]] = jnp.asarray(a)
     return tree
 
@@ -117,6 +136,8 @@ def export_inference(
     batch dimension (one artifact serves any batch size)."""
     from jax import export as jexport
 
+    if quantize not in (None, "int8"):  # validate BEFORE tracing/writing anything
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     os.makedirs(out_dir, exist_ok=True)
     serve = make_serve_fn(model, input_dtype)
 
@@ -131,8 +152,6 @@ def export_inference(
     blob = exported.serialize()
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
-    if quantize not in (None, "int8"):
-        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     _save_tree(os.path.join(out_dir, "params.npz"), variables, quantize=quantize)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(

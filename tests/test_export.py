@@ -129,3 +129,57 @@ def test_export_quantize_rejects_unknown(tmp_path):
             model, variables, str(tmp_path / "x"), image_size=16, batch_size=2,
             input_dtype=jnp.float32, platforms=("cpu",), quantize="int4",
         )
+
+
+def test_export_quantize_rejects_before_writing(tmp_path):
+    """Invalid quantize must fail BEFORE tracing/writing: a half-written
+    artifact dir (model.stablehlo without params.npz) breaks load_exported
+    with an unrelated FileNotFoundError."""
+    import os
+    import pytest as _pytest
+
+    model = tiny()
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, jnp.zeros((2, 16, 16, 3)), train=False)
+    out = tmp_path / "half"
+    with _pytest.raises(ValueError, match="quantize"):
+        export_inference(
+            model, variables, str(out), image_size=16, batch_size=2,
+            input_dtype=jnp.float32, platforms=("cpu",), quantize="int4",
+        )
+    assert not os.path.exists(out / "model.stablehlo")
+
+
+def test_export_int8_quantizes_bf16_params(tmp_path):
+    """bfloat16 kernels are ml_dtypes floats, NOT np.floating subtypes — the
+    quantization gate must still catch them (regression: silent full-size
+    artifact stamped quantize='int8')."""
+    import os
+
+    model = tiny()
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, jnp.zeros((2, 16, 16, 3)), train=False)
+    bf = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+    out = export_inference(
+        model, bf, str(tmp_path / "q8bf"), image_size=16, batch_size=2,
+        input_dtype=jnp.bfloat16, platforms=("cpu",), quantize="int8",
+    )
+    z = np.load(os.path.join(out, "params.npz"), allow_pickle=False)
+    import json as _json
+
+    qd = _json.loads(str(z["__quant__"]))
+    assert qd, "no kernel was quantized for a bf16 tree"
+    assert all(v == "bfloat16" for v in qd.values()), qd
+    serve, meta = load_exported(out)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16, 16, 3), np.uint8))
+    logits = np.asarray(serve(imgs))
+    assert np.isfinite(logits).all()
+
+
+def test_export_int8_raises_when_nothing_qualifies():
+    """quantize='int8' on a tree with no float kernels must raise, not write
+    a full-precision artifact labeled int8."""
+    import pytest as _pytest
+
+    from sota_imagenet_tpu.utils.export import _save_tree
+
+    with _pytest.raises(ValueError, match="no float 'kernel'"):
+        _save_tree("/tmp/never_written.npz", {"params": {"bias": np.zeros(4, np.float32)}}, quantize="int8")
