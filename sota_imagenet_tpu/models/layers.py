@@ -175,109 +175,24 @@ class GEMPoolChannel(nn.Module):
         return out.astype(x.dtype)
 
 
-# NOTE: custom_vjp is reverse-mode-only — jax.jvp/jacfwd/higher-order grads
-# through max_pool raise. If a forward-mode use case appears (HVP optimizers,
-# sharpness metrics), add a defjvp rule or gate these on a flag; plain
-# nn.max_pool is the drop-in fallback.
-@_partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _nonoverlap_max_pool(x, w: int):
-    n, h, wd, c = x.shape
-    return jnp.max(x.reshape(n, h // w, w, wd // w, w, c), axis=(2, 4))
-
-
-def _nmp_fwd(x, w: int):
-    return _nonoverlap_max_pool(x, w), x
-
-
-def _nmp_bwd(w: int, x, g):
-    # Route the gradient to the FIRST max in window row-major order — the
-    # same element XLA's select-and-scatter picks — using only elementwise
-    # ops and cumsums over the tiny window axes (all fusible). This is the
-    # whole point of the fast path: reduce_window's backward lowers to
-    # select_and_scatter, which is far off HBM speed-of-light on TPU, and
-    # VGG-style nets run five of them over their largest activations.
-    n, h, wd, c = x.shape
-    hp, wp = h // w, wd // w
-    xr = x.reshape(n, hp, w, wp, w, c)
-    y = jnp.max(xr, axis=(2, 4), keepdims=True)
-    eq = xr == y
-    row_any = jnp.any(eq, axis=4, keepdims=True).astype(jnp.int32)
-    rows_before = jnp.cumsum(row_any, axis=2) - row_any  # maxes in earlier rows
-    within = jnp.cumsum(eq.astype(jnp.int32), axis=4) - eq  # earlier in this row
-    first = eq & (rows_before == 0) & (within == 0)
-    gx = jnp.where(first, g.reshape(n, hp, 1, wp, 1, c).astype(x.dtype), 0)
-    return (gx.reshape(n, h, wd, c),)
-
-
-_nonoverlap_max_pool.defvjp(_nmp_fwd, _nmp_bwd)
-
-
-def _reduce_window_max(x, w: int, s: int, p: int):
-    return nn.max_pool(x, window_shape=(w, w), strides=(s, s), padding=((p, p), (p, p)))
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _overlap_max_pool(x, w: int, s: int, p: int):
-    return _reduce_window_max(x, w, s, p)
-
-
-def _omp_fwd(x, w: int, s: int, p: int):
-    return _overlap_max_pool(x, w, s, p), x
-
-
-def _omp_bwd(w: int, s: int, p: int, x, g):
-    # Overlapping-pool backward without select_and_scatter: per window,
-    # argmax over the w*w strided views picks the first max (window scan
-    # order, same element XLA's select-and-scatter routes to); each offset's
-    # contribution is placed back by an interior-dilated lax.pad and the w*w
-    # pads sum — all fusible pad/where/add, no scatter.
-    n, h, wd, c = x.shape
-    hp = (h + 2 * p - w) // s + 1
-    wp = (wd + 2 * p - w) // s + 1
-    h2, w2 = h + 2 * p, wd + 2 * p
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), constant_values=neg)
-    views = [
-        xp[:, a : a + (hp - 1) * s + 1 : s, b : b + (wp - 1) * s + 1 : s, :]
-        for a in range(w)
-        for b in range(w)
-    ]
-    am = jnp.argmax(jnp.stack(views), axis=0)  # (n, hp, wp, c): first max per window
-    zero = jnp.asarray(0, x.dtype)
-    acc = None
-    for k in range(w * w):
-        a, b = divmod(k, w)
-        gk = jnp.where(am == k, g.astype(x.dtype), zero)
-        part = jax.lax.pad(
-            gk,
-            zero,
-            (
-                (0, 0, 0),
-                (a, h2 - a - (hp - 1) * s - 1, s - 1),
-                (b, w2 - b - (wp - 1) * s - 1, s - 1),
-                (0, 0, 0),
-            ),
-        )
-        acc = part if acc is None else acc + part
-    return (acc[:, p : h2 - p, p : w2 - p, :],)
-
-
-_overlap_max_pool.defvjp(_omp_fwd, _omp_bwd)
-
-
 def max_pool(x, window: int = 3, stride: int = 2, padding: int = 1):
-    """torch-style MaxPool2d(window, stride, padding) in NHWC.
+    """torch-style MaxPool2d(window, stride, padding) in NHWC, as plain
+    reduce_window (flax nn.max_pool; backward lowers to select_and_scatter).
 
-    Both shapes avoid XLA's select_and_scatter backward (far off HBM
-    speed-of-light on TPU): non-overlapping pools (window == stride, no
-    padding, divisible dims — VGG's MaxPool2d(2, 2)) reshape+max with an
-    elementwise VJP; overlapping ones (the resnet/BNet stem MaxPool(3, 2, 1))
-    keep the reduce_window forward but back-propagate via per-offset argmax
-    routing + dilated pads. Tie-routing matches select_and_scatter (first
-    max in window order) bit-for-bit in both paths."""
-    if window == stride and padding == 0 and x.shape[1] % window == 0 and x.shape[2] % window == 0:
-        return _nonoverlap_max_pool(x, window)
-    return _overlap_max_pool(x, window, stride, padding)
+    A custom scatter-free backward (reshape+max with cumsum tie-routing for
+    non-overlapping pools; per-offset argmax routing + dilated pads for
+    overlapping ones) was built and A/B-measured on the v5-lite chip — and
+    LOST, badly: 37x slower fwd+bwd at VGG pool shapes (the (n,h/2,2,w/2,2,c)
+    reshape breaks the 128-lane layout and the tiny-axis cumsums lower to
+    relayout storms), and -25% e2e on the r50 train step (64.8 vs 48.5
+    ms/step; scripts/bench_maxpool_ab.py). XLA's select_and_scatter is within
+    the step's fusion budget on TPU; see PERF.md "negative results"."""
+    return nn.max_pool(
+        x,
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )
 
 
 class MaxPool(nn.Module):

@@ -164,48 +164,20 @@ def test_nfnet_signal_propagation():
     assert float(jnp.std(out)) < 50.0
 
 
-def test_nonoverlap_max_pool_fast_path_matches_reduce_window():
-    """VGG-style MaxPool2d(2,2) takes a reshape-max fast path (backward is
-    elementwise instead of XLA select_and_scatter). Forward AND backward must
-    be bit-identical to flax nn.max_pool, including tie routing (post-ReLU
-    zero windows are the common tie case)."""
-    from flax import linen as nn
+def test_max_pool_wrapper_matches_torch_semantics():
+    """max_pool is the torch-style MaxPool2d(window, stride, padding) wrapper
+    over flax nn.max_pool. (Custom scatter-free backwards were built, measured
+    37x slower on-chip, and removed — see PERF.md negative results and the
+    max_pool docstring.) Forward must match torch at the shapes the zoo uses."""
+    import torch
 
     from sota_imagenet_tpu.models.layers import max_pool
 
     rng = np.random.default_rng(0)
-    for dtype in (jnp.float32, jnp.bfloat16):
-        for w in (2, 3):
-            x = jnp.asarray(rng.standard_normal((2, 12, 12, 5)), dtype)
-            x = jnp.where(x < 0, 0.0, x).astype(dtype)  # ReLU-like ties
-            ref = lambda t: nn.max_pool(t, window_shape=(w, w), strides=(w, w), padding=((0, 0), (0, 0)))
-            np.testing.assert_array_equal(np.asarray(max_pool(x, w, w, 0)), np.asarray(ref(x)))
-            g = jnp.asarray(rng.standard_normal((2, 12 // w, 12 // w, 5)), dtype)
-            gn = jax.grad(lambda t: jnp.sum(max_pool(t, w, w, 0).astype(jnp.float32) * g.astype(jnp.float32)))(x)
-            gr = jax.grad(lambda t: jnp.sum(ref(t).astype(jnp.float32) * g.astype(jnp.float32)))(x)
-            np.testing.assert_array_equal(np.asarray(gn, np.float32), np.asarray(gr, np.float32))
-
-
-@pytest.mark.parametrize("w,s,p,h,wd", [(3, 2, 1, 15, 17), (3, 2, 1, 16, 16), (3, 1, 1, 9, 9), (3, 2, 0, 11, 13)])
-def test_overlap_max_pool_bwd_matches_select_and_scatter(w, s, p, h, wd):
-    """Overlapping pools (resnet/BNet stem MaxPool(3,2,1)) back-propagate via
-    per-offset argmax routing + dilated pads instead of select_and_scatter.
-    Tie ROUTING is identical (first max per window; verified to 1 ULP in f64
-    on tie-heavy post-ReLU inputs); only the overlap-add summation order
-    differs, so values match to dtype rounding."""
-    from flax import linen as nn
-
-    from sota_imagenet_tpu.models.layers import max_pool
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, h, wd, 4)), jnp.float32)
-    x = jnp.where(x < 0, 0.0, x)  # tie-heavy
-    ref = lambda t: nn.max_pool(t, window_shape=(w, w), strides=(s, s), padding=((p, p), (p, p)))
-    y_ref = ref(x)
-    np.testing.assert_array_equal(np.asarray(max_pool(x, w, s, p)), np.asarray(y_ref))
-    g = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
-    gn = np.asarray(jax.grad(lambda t: jnp.sum(max_pool(t, w, s, p) * g))(x))
-    gr = np.asarray(jax.grad(lambda t: jnp.sum(ref(t) * g))(x))
-    np.testing.assert_allclose(gn, gr, rtol=1e-5, atol=1e-5)
-    # routing identity: gradient lands on exactly the same elements
-    np.testing.assert_array_equal(gn != 0, gr != 0)
+    for w, s, p in [(3, 2, 1), (2, 2, 0), (3, 2, 0), (3, 1, 1)]:
+        x = rng.standard_normal((2, 13, 15, 4)).astype(np.float32)
+        got = np.asarray(max_pool(jnp.asarray(x), w, s, p))
+        ref = torch.nn.functional.max_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), w, stride=s, padding=p
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_array_equal(got, ref)
