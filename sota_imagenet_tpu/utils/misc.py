@@ -11,16 +11,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _machine_cache_key() -> str:
+    """Short fingerprint of this host's CPU features. XLA:CPU persists AOT
+    executables whose machine features must match the executing host; a cache
+    dir shared across heterogeneous hosts (e.g. via a synced $HOME) feeds
+    back entries that at best fail to load and at worst SIGILL (observed:
+    round-3 gate tail full of cpu_aot_loader.cc machine-feature-mismatch
+    errors). Scoping the path per machine keeps the cache useful AND safe."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{feats}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent on-disk compilation cache (XLA executables keyed by HLO +
     compile options). On this environment TPU compiles go through a remote
     compile service that can queue for many minutes (CLAUDE.md); caching the
     compiled executable locally makes repeat runs of the same program
-    (bench.py, the soak's relaunch, the driver's round-end gates) immune to
-    that queue. Safe no-op if the backend doesn't support serialization."""
+    (bench.py, the soak's relaunch) immune to that queue. The directory is
+    scoped by a machine-feature fingerprint (see _machine_cache_key) so
+    XLA:CPU AOT entries never cross heterogeneous hosts. Safe no-op if the
+    backend doesn't support serialization."""
     import os
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser("~/.cache/jax_comp_cache")
+    path = os.path.join(path, _machine_cache_key())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
