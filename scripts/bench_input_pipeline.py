@@ -58,12 +58,27 @@ def main():
         action="store_true",
         help="device-resample split: host DCT-scaled decode only, triangular/cubic resample on the MXU (ops/resample.py)",
     )
+    ap.add_argument(
+        "--packed",
+        action="store_true",
+        help="decode-free packed uint8 records (data/packed.py): host cost = one memcpy/img; the >=95%% utilization proof",
+    )
     args = ap.parse_args()
 
     root = os.path.join(args.root, f"{args.src_px}px", "train")
     if not os.path.exists(root) or len(os.listdir(root)) == 0:
         print(f"generating {args.n_images} jpegs @ {args.src_px}px -> {root}", flush=True)
         make_corpus(root, args.n_images, args.src_px)
+    packed_root = os.path.dirname(root)  # holds train_packed/ beside train/
+    if args.packed:
+        from sota_imagenet_tpu.data.packed import PackedLoader, create_packed_records, packed_dirs
+
+        rec_dir = packed_dirs(packed_root, "train")[0]
+        if not os.path.isdir(rec_dir) or len(os.listdir(rec_dir)) == 0:
+            print(f"packing {args.n_images} imgs @ {args.size}px -> {rec_dir}", flush=True)
+            create_packed_records(
+                packed_root, image_size=args.size, train_shards=16, workers=args.workers, splits=("train",)
+            )
 
     import jax
     import jax.numpy as jnp
@@ -91,10 +106,17 @@ def main():
     state = steps_lib.init_state(model, tx, (args.bs, args.size, args.size, 3), rng, input_dtype=jnp.bfloat16)
     state = jax.device_put(state, replicate(mesh))
 
-    host = FolderLoader(
-        root, is_train=True, batch_size=args.bs, image_size=args.size, workers=args.workers, drop_last=True,
-        device_resample=args.device_resample,
-    )
+    if args.packed:
+        from sota_imagenet_tpu.data.packed import PackedLoader
+
+        host = PackedLoader(
+            packed_root, is_train=True, batch_size=args.bs, image_size=args.size, workers=args.workers, drop_last=True
+        )
+    else:
+        host = FolderLoader(
+            root, is_train=True, batch_size=args.bs, image_size=args.size, workers=args.workers, drop_last=True,
+            device_resample=args.device_resample,
+        )
     aug = build_train_augment(
         num_classes=1000, re_prob=0.3, color_twist_prob=0.4, gray_prob=0.2,
         resample_to=args.size if args.device_resample else None,
@@ -138,6 +160,7 @@ def main():
                 "input_utilization": round(util, 4),
                 "cores_per_chip_needed_at_500px": round(step_rate / 471.0, 2),
                 "model": args.model, "sam": args.sam, "device_resample": args.device_resample,
+                "packed": args.packed,
             }
         )
     )

@@ -68,8 +68,13 @@ class LoaderConfig:
     num_classes: int = 1000
     root_data_dir: str = "${env:IMAGENET_DIR}"
     use_tfrecords: bool = False
+    # decode-free pre-decoded uint8 records (data/packed.py): host cost per
+    # image drops to one memcpy, demonstrating the >=95% input-utilization
+    # north star on decode-starved hosts. Requires <root>/{split}_packed
+    # built by create_packed_records at this image_size.
+    use_packed: bool = False
     # TPU additions: explicit backend + host prefetch depth
-    backend: str = "auto"  # auto | folder | tfrecord | synthetic
+    backend: str = "auto"  # auto | folder | tfrecord | packed | synthetic
     prefetch: int = 2
     # legacy flat-schema `classes_divisor` (e.g. exp22-26 "train on 100
     # classes instead"): labels are integer-divided by this, shrinking the

@@ -514,7 +514,9 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
     backend = loader_cfg.get("backend", "auto")
     root = loader_cfg.get("root_data_dir", "")
     if backend == "auto":
-        if loader_cfg.get("use_tfrecords", False):
+        if loader_cfg.get("use_packed", False):
+            backend = "packed"
+        elif loader_cfg.get("use_tfrecords", False):
             backend = "tfrecord"
         elif root and os.path.isdir(os.path.join(root, "train" if is_train else "val")):
             backend = "folder"
@@ -549,6 +551,17 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
             # divisibility requirement, arg_parser.py:59-61)
             drop_last=is_train,
             device_resample=is_train and bool(loader_cfg.get("device_resample", False)),
+        )
+    if backend == "packed":
+        from sota_imagenet_tpu.data.packed import PackedLoader
+
+        return PackedLoader(
+            root,
+            is_train=is_train,
+            batch_size=loader_cfg.batch_size // max(jax.process_count(), 1),
+            image_size=loader_cfg.image_size,
+            workers=loader_cfg.get("workers", 6),
+            drop_last=is_train,  # val: pad + mask the tail (see FolderLoader)
         )
     if backend == "tfrecord":
         from sota_imagenet_tpu.data.records import TFRecordLoader

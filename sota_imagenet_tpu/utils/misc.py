@@ -45,6 +45,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
     backend doesn't support serialization."""
     import os
 
+    try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU's AOT loader rejects its OWN entries on this host: it
+            # stamps executables with tuning pseudo-features
+            # (+prefer-no-gather/+prefer-no-scatter) that host feature
+            # detection never reports, so every load logs a machine-feature-
+            # mismatch error and falls back to a fresh compile (observed on
+            # the round-3/4 gates). The cache's purpose is dodging the REMOTE
+            # TPU compile queue; on the CPU backend it is all spam, no hits.
+            return
+    except Exception:
+        pass
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser("~/.cache/jax_comp_cache")
     path = os.path.join(path, _machine_cache_key())
     try:
