@@ -1,8 +1,8 @@
 # reference Makefile had `format` (black -l 120) and `build` targets
 .PHONY: format test bench bench-models bench-eval soak sweep native setup
 
-setup:             # fresh-host bootstrap: pinned deps + native decode core
-	pip install -r requirements.txt
+setup:             # fresh-host bootstrap: editable install (pinned deps, console scripts) + native decode core
+	pip install -e . --no-build-isolation
 	$(MAKE) -C native
 
 format:

@@ -9,5 +9,9 @@
 set -u
 cd "$(dirname "$0")/.."
 echo $$ > train.pid
+# prefer the installed console script (pyproject.toml); fall back to the
+# checkout shim on hosts where `make setup` hasn't run yet
+TRAIN="python train.py"
+command -v sota-train >/dev/null 2>&1 && TRAIN="sota-train"
 exec env IMAGENET_DIR="${IMAGENET_DIR:-/data/imagenet}" \
-  python train.py -c "$1" run.auto_resume=true "${@:2}"
+  $TRAIN -c "$1" run.auto_resume=true "${@:2}"

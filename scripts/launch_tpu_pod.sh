@@ -72,7 +72,7 @@ rm -f "$TMP_TAR"
 # (idempotent — pip no-ops on satisfied pins, make no-ops on a fresh .so).
 # SKIP_SETUP=1 skips it for fast re-syncs on already-provisioned pods.
 if [[ -z "${SKIP_SETUP:-}" ]]; then
-    "${SSH[@]}" "cd $REMOTE_DIR && pip install -q -r requirements.txt && make -s native"
+    "${SSH[@]}" "cd $REMOTE_DIR && pip install -q -e . --no-build-isolation && make -s native"
 fi
 
 # shell-quote every override so spaces/braces/quotes survive the ONE remote
