@@ -1,5 +1,5 @@
 # reference Makefile had `format` (black -l 120) and `build` targets
-.PHONY: format test bench bench-models bench-eval soak sweep native setup
+.PHONY: format test test-fast test-slow bench bench-models bench-eval soak sweep native setup
 
 setup:             # fresh-host bootstrap: editable install (pinned deps, console scripts) + native decode core
 	pip install -e . --no-build-isolation
@@ -10,6 +10,12 @@ format:
 
 test:
 	python -m pytest tests/ -q
+
+test-fast:         # quick tier (<10 min on the 1-core host): config/schedule/losses/optim/cmodel/data math
+	python -m pytest tests/ -q -m "not slow"
+
+test-slow:         # heavy tier: e2e, config sweeps, parallelism-mode compiles, torch oracles
+	python -m pytest tests/ -q -m slow
 
 bench:
 	python bench.py

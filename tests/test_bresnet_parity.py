@@ -15,6 +15,8 @@ import torch.nn.functional as F
 from sota_imagenet_tpu.models import bresnet50
 from sota_imagenet_tpu.utils.torch_import import convert_bresnet_state_dict
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 LAYERS = (1, 1)  # tiny: 2 stages
 
 

@@ -23,6 +23,8 @@ from PIL import Image
 from sota_imagenet_tpu.data import decode as D
 from sota_imagenet_tpu.ops.resample import FILT_CUBIC, FILT_TRIANGULAR, device_resample, resample_weights
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _jpeg(arr):
     buf = io.BytesIO()

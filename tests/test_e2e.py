@@ -20,6 +20,8 @@ from sota_imagenet_tpu.optim import build_optimizer
 from sota_imagenet_tpu.train.loop import Runner
 from sota_imagenet_tpu.train.schedule import phases_from_stages
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _make_color_dataset(root, n_per_class=12, size=48):
     """Two trivially separable classes: red-ish vs blue-ish images."""

@@ -15,6 +15,8 @@ from sota_imagenet_tpu.config import instantiate, parse_stages
 from sota_imagenet_tpu.optim import build_optimizer
 from sota_imagenet_tpu.train.schedule import phases_from_stages
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 ALL_CONFIGS = sorted(
     glob.glob(os.path.join(CONFIG_DIR, "*.yaml")) + glob.glob(os.path.join(CONFIG_DIR, "exp", "*.yaml"))

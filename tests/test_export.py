@@ -5,9 +5,12 @@ the reference is training-only)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sota_imagenet_tpu.models.cmodel import CModel
 from sota_imagenet_tpu.utils.export import export_inference, load_exported, make_serve_fn
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 
 def tiny():

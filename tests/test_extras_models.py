@@ -8,6 +8,8 @@ import pytest
 
 from sota_imagenet_tpu.registry import resolve
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _params(name, num_classes=1000, size=224, **kw):
     m = resolve(name)(num_classes=num_classes, **kw)

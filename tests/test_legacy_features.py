@@ -16,6 +16,8 @@ import pytest
 from sota_imagenet_tpu import registry
 from sota_imagenet_tpu.losses import BinaryFocalLoss, BinaryKLDivLoss
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 # --------------------------------------------------------------------------- #
 # BinaryFocalLoss

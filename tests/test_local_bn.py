@@ -17,6 +17,8 @@ import pytest
 
 from sota_imagenet_tpu.models import norms as N
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _init_and_apply(mod, x, train=True):
     variables = mod.init(jax.random.PRNGKey(0), x, train=False)

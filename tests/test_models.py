@@ -9,6 +9,8 @@ from sota_imagenet_tpu.models.norms import FRNv1, FRNv2, VarEMA, ScaleNorm
 from sota_imagenet_tpu.models.attention import ECA, SEVar3, UFO, XCA
 from sota_imagenet_tpu.utils.misc import count_parameters
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _init_apply(model, x, train=False, rngs=None):
     variables = model.init(jax.random.PRNGKey(0), x, train=False)

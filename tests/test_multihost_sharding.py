@@ -10,6 +10,8 @@ from PIL import Image
 from sota_imagenet_tpu.data import pipeline as P
 from sota_imagenet_tpu.data import records as R
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _tree(root, n=10):
     os.makedirs(root / "n01", exist_ok=True)

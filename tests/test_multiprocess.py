@@ -12,6 +12,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 WORKER = textwrap.dedent(
     """
     import os, sys

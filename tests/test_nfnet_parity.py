@@ -22,6 +22,8 @@ from sota_imagenet_tpu.models.layers import ACTIVATION_GAMMA
 from sota_imagenet_tpu.models.nfnet import NFNet
 from sota_imagenet_tpu.utils.torch_import import convert_nfnet_state_dict
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 GAMMA = ACTIVATION_GAMMA["silu"]
 DEPTHS = (1, 2)
 CHANNELS = (64, 128)

@@ -22,6 +22,9 @@ from sota_imagenet_tpu.train.callbacks import (
 )
 from sota_imagenet_tpu.train.loop import Runner
 from sota_imagenet_tpu.train.schedule import phases_from_stages
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 
 def test_tensorboard_and_histograms(tmp_path, mesh8):

@@ -11,6 +11,8 @@ from sota_imagenet_tpu.models.cmodel import CModel
 from sota_imagenet_tpu.optim import build_optimizer
 from sota_imagenet_tpu.train import steps as steps_lib
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 OPTIMS = [
     {"_target_": "sgd", "momentum": 0.9, "weight_decay": 1e-4},
     {"_target_": "adamw", "weight_decay": 1e-3},

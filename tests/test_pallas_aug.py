@@ -15,6 +15,8 @@ from sota_imagenet_tpu.constants import DATA_MEAN, DATA_STD
 from sota_imagenet_tpu.ops.augment import RGB2YIQ, YIQ2RGB, build_train_augment
 from sota_imagenet_tpu.ops.pallas_aug import N_BASE_SCALARS, draw_augment_scalars, pallas_augment
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 ON_TPU = jax.default_backend() == "tpu"
 
 

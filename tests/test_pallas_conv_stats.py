@@ -8,6 +8,8 @@ import pytest
 
 from sota_imagenet_tpu.ops.pallas_conv_stats import conv1x1_stats, conv1x1_stats_nhwc
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 ON_TPU = jax.default_backend() == "tpu"
 INTERP = not ON_TPU
 

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sota_imagenet_tpu.ops.pallas_norm import moments
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 INTERPRET = jax.default_backend() != "tpu"
 

@@ -14,6 +14,9 @@ from sota_imagenet_tpu.models.cmodel import CModel
 from sota_imagenet_tpu.optim import build_optimizer
 from sota_imagenet_tpu.train.loop import Runner
 from sota_imagenet_tpu.train.schedule import phases_from_stages
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 
 def test_stage_rebuild_and_training(mesh8):

@@ -18,6 +18,8 @@ from sota_imagenet_tpu.models.resnet import resnet18
 from sota_imagenet_tpu.optim import build_optimizer
 from sota_imagenet_tpu.train import steps as steps_lib
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _sched(count):
     return jnp.asarray(0.1, jnp.float32)

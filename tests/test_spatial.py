@@ -24,6 +24,8 @@ from sota_imagenet_tpu.parallel.mesh import (
 )
 from sota_imagenet_tpu.train import steps as steps_lib
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def _model():
     # conv stride-2 + BN + pool: exercises halo exchange, strided partitioning

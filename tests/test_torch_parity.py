@@ -14,6 +14,8 @@ import torch.nn as tnn
 from sota_imagenet_tpu.models import resnet50
 from sota_imagenet_tpu.utils.torch_import import convert_resnet_state_dict
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 class TorchBottleneck(tnn.Module):
     expansion = 4

@@ -22,6 +22,9 @@ from sota_imagenet_tpu.parallel.mesh import (
     tp_sharding,
 )
 from sota_imagenet_tpu.train import steps as steps_lib
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 
 def test_tp_composes_with_zero1():

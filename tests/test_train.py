@@ -16,6 +16,8 @@ from sota_imagenet_tpu.train.loop import Runner
 from sota_imagenet_tpu.train.schedule import make_lr_schedule, phases_from_stages
 from sota_imagenet_tpu.train import steps as steps_lib
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 
 def tiny_model():
     cfg = [

@@ -46,6 +46,8 @@ from sota_imagenet_tpu.train import steps as steps_lib
 from sota_imagenet_tpu.utils.misc import filter_from_weight_decay
 from sota_imagenet_tpu.utils.torch_import import convert_resnet_state_dict
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
+
 N_CLASSES = 10
 BS = 8
 SIZE = 32

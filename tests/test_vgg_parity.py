@@ -13,6 +13,9 @@ import torch
 import torch.nn as tnn
 
 from sota_imagenet_tpu.models import vgg16_bn
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 

@@ -17,6 +17,9 @@ from sota_imagenet_tpu.models.cmodel import CModel
 from sota_imagenet_tpu.optim import build_optimizer
 from sota_imagenet_tpu.parallel.mesh import apply_zero1, batch_sharding, replicate, zero1_opt_sharding
 from sota_imagenet_tpu.train import steps as steps_lib
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
 
 def _setup(mesh, optim):
