@@ -468,12 +468,20 @@ class CheckpointSaver(Callback):
 
 
 class TensorBoard(Callback):
-    """Scalar logging every N steps (reference TensorBoard, train.py:139)."""
+    """Scalar logging every N steps (reference TensorBoard, train.py:139).
+
+    Device scalars are BUFFERED during the epoch and read back in one
+    device_get at epoch end: a per-step float() is a device->host readback in
+    the hot loop, which stalls dispatch on any TPU and — through the axon
+    tunnel — permanently degrades the transport (one readback collapses
+    host->device bandwidth 1.5 GB/s -> 0.04 GB/s; PERF.md round 4). The TB
+    event stream is identical: same tags, same step numbers."""
 
     def __init__(self, log_dir: str = ".", log_every: int = 50):
         self.log_dir = log_dir
         self.log_every = log_every
         self.writer = None
+        self._buf = []  # [(step, {tag: device scalar})], flushed per epoch
 
     def on_begin(self):
         if not is_master():
@@ -485,12 +493,17 @@ class TensorBoard(Callback):
     def on_batch_end(self, step, metrics):
         if self.writer is None or step % self.log_every:
             return
-        for k, v in metrics.items():
-            self.writer.add_scalar(f"train/{k}", float(v), step)
+        self._buf.append((step, metrics))
 
     def on_epoch_end(self, epoch, train_metrics, val_metrics):
         if self.writer is None:
             return
+        if self._buf:
+            steps, dev = zip(*self._buf)
+            self._buf = []
+            for step, m in zip(steps, jax.device_get(dev)):
+                for k, v in m.items():
+                    self.writer.add_scalar(f"train/{k}", float(v), step)
         for k, v in (val_metrics or {}).items():
             self.writer.add_scalar(f"val/{k}", float(v), epoch)
 
@@ -536,14 +549,60 @@ class GradDistributionTB(Callback):
     def __init__(self, log_every: int = 500, subsample: int = 10):
         self.log_every = log_every
         self.subsample = subsample
+        # the histogram is computed ON DEVICE (a jitted reduce over params)
+        # and only the 64 bucket counts + 4 scalars are buffered; pulling the
+        # raw params to host every N steps is a mid-epoch D2H readback (see
+        # TensorBoard docstring for why those are banned from the hot loop)
+        self._edges = np.linspace(-15.0, 5.0, 65, dtype=np.float32)
+        self._jit_hist = None
+        self._buf = []  # [(step, device stats)], flushed per epoch
+
+    def _build(self):
+        edges = jnp.asarray(self._edges)
+        sub = self.subsample
+
+        def hist(params):
+            vals = jnp.concatenate(
+                [jnp.abs(l.astype(jnp.float32).ravel()[::sub]) for l in jax.tree_util.tree_leaves(params)]
+            )
+            logs = jnp.clip(jnp.log10(vals + 1e-30), -15.0, 5.0)
+            counts, _ = jnp.histogram(logs, bins=edges)
+            return {
+                "counts": counts,
+                "min": logs.min(),
+                "max": logs.max(),
+                "sum": logs.sum(),
+                "sumsq": jnp.square(logs).sum(),
+            }
+
+        self._jit_hist = jax.jit(hist)
 
     def on_batch_end(self, step, metrics):
-        tb = getattr(self.runner, "tb_writer", None) if self.runner else None
-        if tb is None or step % self.log_every or not is_master():
+        if step % self.log_every or not is_master() or self.runner is None:
             return
-        leaves = jax.tree_util.tree_leaves(self.runner.state.params)
-        vals = np.concatenate([np.abs(np.asarray(l, np.float32)).ravel()[:: self.subsample] for l in leaves])
-        tb.add_histogram("optim/model_params_log", np.clip(np.log10(vals + 1e-30), -15, None), step)
+        if self._jit_hist is None:
+            self._build()
+        self._buf.append((step, self._jit_hist(self.runner.state.params)))
+
+    def on_epoch_end(self, epoch, train_metrics, val_metrics):
+        tb = getattr(self.runner, "tb_writer", None) if self.runner else None
+        if tb is None or not self._buf:
+            self._buf = []
+            return
+        steps, dev = zip(*self._buf)
+        self._buf = []
+        for step, s in zip(steps, jax.device_get(dev)):
+            tb.add_histogram_raw(
+                "optim/model_params_log",
+                min=float(s["min"]),
+                max=float(s["max"]),
+                num=int(s["counts"].sum()),
+                sum=float(s["sum"]),
+                sum_squares=float(s["sumsq"]),
+                bucket_limits=self._edges[1:].tolist(),
+                bucket_counts=s["counts"].tolist(),
+                global_step=step,
+            )
 
 
 # registry entries so configs instantiate these by target path
