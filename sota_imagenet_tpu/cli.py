@@ -95,7 +95,7 @@ def main(argv=None):
     from sota_imagenet_tpu.train.loop import Runner
     from sota_imagenet_tpu.train.schedule import phases_from_stages
     from sota_imagenet_tpu.utils.logging import setup_logger
-    from sota_imagenet_tpu.utils.misc import count_parameters, filter_from_weight_decay, set_random_seed
+    from sota_imagenet_tpu.utils.misc import count_parameters, filter_from_weight_decay, host_prng_key, set_random_seed
 
     start_time = time.time()
     cfg = C.load(args.config, overrides=args.overrides, strict_env=False)
@@ -125,7 +125,10 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     if cfg.random_seed is not None:
         set_random_seed(cfg.random_seed)
-    rng = jax.random.PRNGKey(cfg.random_seed or 0)
+    # host-resident (numpy) master key: uncommitted, so it composes with any
+    # jit sharding, and deriving the data key from it never reads back from
+    # the device (D2H serializes dispatch; ~30 ms RTT tunneled — PERF.md r4)
+    rng = host_prng_key(cfg.random_seed or 0)
 
     mesh = create_mesh(data=cfg.mesh.data, model=cfg.mesh.model, spatial=cfg.mesh.spatial)
     input_dtype = jnp.bfloat16 if cfg.run.bf16 else jnp.float32
@@ -291,7 +294,7 @@ def main(argv=None):
         runner.state = apply_head_tp(runner.state, mesh, cfg.mesh.tp_params)
         log.info(f"Head TP: matching params class-sharded over {mesh.shape['model']} devices")
 
-    data_manager = DataManager(cfg, mesh, rng=jax.random.fold_in(rng, 777), out_dtype=input_dtype)
+    data_manager = DataManager(cfg, mesh, rng=host_prng_key(cfg.random_seed or 0, 777), out_dtype=input_dtype)
 
     if cfg.run.evaluate:
         data_manager.set_stage(0)

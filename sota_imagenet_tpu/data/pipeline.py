@@ -409,7 +409,15 @@ class DeviceFeed:
         self.host = host_loader
         self.mesh = mesh
         self.augment = augment_fn
-        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if rng is None:
+            from sota_imagenet_tpu.utils.misc import host_prng_key
+
+            # host-resident by construction: deriving per-batch keys must
+            # never read back from the accelerator (PERF.md round 4 — D2H
+            # through a tunnel costs a ~30 ms round trip; on real TPU VMs
+            # it serializes dispatch)
+            rng = host_prng_key(0)
+        self.rng = rng
         self.prefetch = max(prefetch, 1)
         # legacy `classes_divisor` (see config.LoaderConfig): merge every
         # `label_divisor` consecutive labels; -1 pad labels stay -1
@@ -433,6 +441,12 @@ class DeviceFeed:
         # augment dispatch instead
         try:
             cpu0 = jax.local_devices(backend="cpu")[0]
+            if isinstance(self.rng, jax.Array) and next(iter(self.rng.devices())).platform != "cpu":
+                # accelerator-resident key: moving it host-side is a D2H
+                # readback the steady-state loop should never pay (PERF.md
+                # round 4). Pass numpy / a host key
+                # (utils.misc.host_prng_key) to avoid this path.
+                get_logger().warning("DeviceFeed rng is device-resident; reading it back once (pass utils.misc.host_prng_key instead)")
             rng_host = jax.device_put(self.rng, cpu0)
         except RuntimeError:
             cpu0, rng_host = None, self.rng

@@ -77,6 +77,29 @@ def set_random_seed(seed: int) -> None:
     np.random.seed(seed % (2**32))
 
 
+def host_prng_key(seed: int, *folds: int) -> np.ndarray:
+    """PRNGKey built ON THE HOST cpu backend, returned as numpy.
+
+    Two properties matter:
+    * creating/deriving it never touches the accelerator — on a tunneled
+      TPU even an 8-byte D2H readback costs a ~30 ms round trip and flips
+      the transfer stream's mode (PERF.md round 4), and on real TPU VMs
+      readbacks serialize dispatch; per-batch key derivation (DeviceFeed)
+      must stay host-side;
+    * numpy is an *uncommitted* argument — it composes with any jit
+      sharding and ships with the dispatch (8 bytes).
+    """
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # no cpu backend registered (never on current jax)
+        cpu0 = None
+    with jax.default_device(cpu0):
+        key = jax.random.PRNGKey(seed)
+        for f in folds:
+            key = jax.random.fold_in(key, f)
+        return np.asarray(key)
+
+
 def listify(x: Any) -> list:
     if x is None:
         return []
