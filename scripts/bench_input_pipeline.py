@@ -64,6 +64,11 @@ def main():
         help="decode-free packed uint8 records (data/packed.py): host cost = one memcpy/img; the >=95%% utilization proof",
     )
     ap.add_argument(
+        "--device-cache",
+        action="store_true",
+        help="HBM-resident dataset cache (data/device_cache.py): fill once, then zero steady-state host->device image traffic",
+    )
+    ap.add_argument(
         "--canonical-step-rate",
         type=float,
         default=None,
@@ -88,6 +93,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from sota_imagenet_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from sota_imagenet_tpu.data.pipeline import DeviceFeed, FolderLoader
     from sota_imagenet_tpu.losses import CrossEntropyLoss
@@ -127,7 +136,16 @@ def main():
         num_classes=1000, re_prob=0.3, color_twist_prob=0.4, gray_prob=0.2,
         resample_to=args.size if args.device_resample else None,
     )
-    feed = DeviceFeed(host, mesh, aug, prefetch=2)
+    if args.device_cache:
+        from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
+
+        # flip the tunnel into its honest synchronous mode BEFORE the fill
+        # (pre-first-readback transfers are lazily staged and drain at
+        # ~0.2 MB/s when forced — PERF.md round 4)
+        jax.device_get(jnp.zeros(()))
+        feed = DeviceCacheFeed(host, mesh, aug)
+    else:
+        feed = DeviceFeed(host, mesh, aug, prefetch=2)
 
     # Phase ordering on this host (PERF.md round 4, corrected physics):
     # before the process's first D2H readback, tunnel transfers are lazily
@@ -183,7 +201,7 @@ def main():
                 "canonical_step_rate": args.canonical_step_rate,
                 "cores_per_chip_needed_at_500px": round(denom / 471.0, 2),
                 "model": args.model, "sam": args.sam, "device_resample": args.device_resample,
-                "packed": args.packed,
+                "packed": args.packed, "device_cache": args.device_cache,
             }
         )
     )

@@ -1,0 +1,169 @@
+"""HBM-resident dataset cache: feed the train loop entirely from device memory.
+
+The TPU-native answer to the input-pipeline ceiling (SURVEY §7 hard part 1,
+the >=95% accelerator-utilization north star; reference anchor: DALI's whole
+reason to exist, dali_dataloader.py:44-124). Streaming decode can always be
+outrun by a big enough chip; HBM cannot. So for datasets (or per-chip shards
+of datasets) that fit, the fastest "storage tier" IS the accelerator:
+
+* FILL (once per stage): the host loader's full local dataset is streamed to
+  a uint8 cache array sharded over the mesh 'data' axis — images
+  ``(N, H, W, 3)`` + labels ``(N,)``. ImageNet-scale math: 1.28M train crops
+  at 224 px = ~185 GB, i.e. ~740 MB/chip on a 256-chip v5p pod slice — a few
+  percent of HBM. One chip obviously can't hold ImageNet; a pod slice holds
+  it trivially, and per-chip HBM feeds the MXU at TB/s against the ~GB/s a
+  host NIC can stream.
+* STEADY STATE (every step): a host-side numpy permutation slice (int32,
+  one per-device row each) ships with the dispatch; a shard_map-LOCAL gather
+  pulls the batch out of HBM (no collectives — guarded by test) and the
+  fused Pallas augment runs as usual. Zero host->device image traffic, zero
+  host decode, zero readbacks.
+
+Sampling is per-shard without replacement: each data shard draws an
+independent permutation of ITS resident samples every epoch (epoch-seeded,
+reproducible). This is exactly DDP's sampler contract (each rank permutes
+its fixed 1/n slice; reference train.py:61 relies on it via DALI's shards) —
+not a global shuffle, and with the same statistical properties.
+
+Augment diversity note: like the packed records this feeds from (FFCV-style,
+data/packed.py), the random-crop geometry is baked at record-creation time;
+flip/color/erase/mixup remain per-step on device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sota_imagenet_tpu.utils.logging import get_logger
+
+
+class DeviceCacheFeed:
+    """Iterator-compatible replacement for DeviceFeed (train only).
+
+    ``host_loader`` is iterated ONCE at construction to fill the cache; it
+    must yield raw ``(images_u8, labels)`` batches (packed/folder loaders).
+    The device-resample split is incompatible (its host batches are
+    variable-geometry canvases + meta, not final crops).
+    """
+
+    def __init__(
+        self,
+        host_loader,
+        mesh,
+        augment_fn,
+        rng: Optional[np.ndarray] = None,
+        label_divisor: int = 1,
+        **_,
+    ):
+        if getattr(host_loader, "meta_kind", None) == "resample":
+            raise ValueError("loader.device_cache is incompatible with loader.device_resample (cache stores final crops)")
+        self.mesh = mesh
+        self.augment = augment_fn
+        if rng is None:
+            from sota_imagenet_tpu.utils.misc import host_prng_key
+
+            rng = host_prng_key(0)
+        self.rng = np.asarray(rng)
+        self.label_divisor = max(int(label_divisor), 1)
+        self.batch_size = host_loader.batch_size * max(jax.process_count(), 1)
+        self.epoch = 0
+        self._step = 0
+
+        n_data = mesh.shape["data"]
+        if self.batch_size % n_data:
+            raise ValueError(f"batch_size {self.batch_size} not divisible by data axis {n_data}")
+        self._bs_local = self.batch_size // n_data
+
+        # ---- fill: one pass over the host loader ----
+        t0 = time.perf_counter()
+        imgs_l, labs_l = [], []
+        for item in host_loader:
+            imgs_l.append(item[0])
+            labs_l.append(item[1])
+        imgs = np.concatenate(imgs_l, axis=0)
+        labs = np.concatenate(labs_l, axis=0).astype(np.int32)
+        del imgs_l, labs_l
+        if self.label_divisor > 1:
+            labs = np.where(labs >= 0, labs // self.label_divisor, labs)
+        # even shards: trim the tail so every data shard holds N // n_data
+        # (drops < n_data * n_process samples; same convention as drop_last)
+        n_proc = max(jax.process_count(), 1)
+        shards_here = max(n_data // n_proc, 1)  # data shards this process feeds
+        n_local_total = imgs.shape[0] - imgs.shape[0] % shards_here
+        imgs, labs = imgs[:n_local_total], labs[:n_local_total]
+        self._n_per_shard = n_local_total // shards_here
+
+        sh = NamedSharding(mesh, P("data"))
+        self.images = jax.make_array_from_process_local_data(sh, imgs)
+        self.labels = jax.make_array_from_process_local_data(sh, labs)
+        fill_s = time.perf_counter() - t0
+        get_logger().info(
+            f"Device cache: {self.images.shape[0]} x {imgs.shape[1:]} uint8 "
+            f"({imgs.nbytes * n_proc / 1e6:.0f} MB global, {imgs.nbytes / shards_here / 1e6:.0f} MB/device-shard) "
+            f"filled in {fill_s:.1f}s over data={n_data}"
+        )
+        del imgs, labs
+        self._n_data = n_data
+
+        # gather is shard-LOCAL: per-device index rows select within that
+        # device's resident slice — the compiled program has NO collectives
+        # (tests/test_device_cache.py counts them in the HLO)
+        from jax import shard_map
+
+        def _local_gather(imgs, labs, idx):
+            return jnp.take(imgs, idx, axis=0), jnp.take(labs, idx, axis=0)
+
+        gathered = shard_map(
+            _local_gather,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )
+
+        def _feed(key, imgs_cache, labs_cache, idx):
+            g_img, g_lab = gathered(imgs_cache, labs_cache, idx)
+            return self.augment(key, g_img, g_lab)
+
+        self._feed = jax.jit(_feed)
+        self._idx_sh = NamedSharding(mesh, P("data"))
+
+    def __len__(self):
+        return self._n_per_shard // self._bs_local
+
+    def __iter__(self):
+        try:
+            cpu0 = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu0 = None
+        rng_host = jax.device_put(self.rng, cpu0)
+        steps = len(self)
+        # per-shard epoch permutation, seeded by (epoch, GLOBAL shard id) —
+        # deterministic and process-layout independent (DDP set_epoch analog,
+        # reference train.py:61 via DALI). Each process materializes only its
+        # own shards' index rows (make_array assembles the global array).
+        n_proc = max(jax.process_count(), 1)
+        shards_here = max(self._n_data // n_proc, 1)
+        first = jax.process_index() * shards_here
+        perms = [
+            np.random.default_rng((0x5EED, self.epoch, d)).permutation(self._n_per_shard)[: steps * self._bs_local]
+            for d in range(first, first + shards_here)
+        ]
+        self.epoch += 1
+        for s in range(steps):
+            # (shards_here * bs_local,) int32: shard d's row indexes shard
+            # d's resident samples; ships with the dispatch (numpy)
+            idx = np.concatenate([p[s * self._bs_local : (s + 1) * self._bs_local] for p in perms]).astype(np.int32)
+            idx = jax.make_array_from_process_local_data(self._idx_sh, idx)
+            self._step += 1
+            if cpu0 is not None:
+                with jax.default_device(cpu0):
+                    key = np.asarray(jax.random.fold_in(rng_host, self._step))
+            else:
+                key = jax.random.fold_in(rng_host, self._step)
+            yield self._feed(key, self.images, self.labels, idx)

@@ -21,16 +21,24 @@ def _machine_cache_key() -> str:
     import hashlib
     import platform
 
-    feats = ""
+    feats = model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not feats and line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                # model name too: LLVM picks TUNING features (e.g.
+                # prefer-no-scatter) from the CPU model — two hosts with
+                # identical ISA flags can still produce incompatible AOT
+                # entries (observed round 4: mismatch errors inside a
+                # flags-keyed dir)
+                if not model and line.startswith(("model name", "CPU part")):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
         pass
-    raw = f"{platform.machine()}|{feats}"
+    raw = f"{platform.machine()}|{model}|{feats}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 

@@ -1,0 +1,125 @@
+"""HBM-resident dataset cache (data/device_cache.py; loader.device_cache).
+
+Contract under test, on the 8-virtual-device mesh:
+* one epoch visits every shard-resident sample exactly once (per-shard
+  permutation without replacement — DDP sampler contract, reference
+  train.py:61 via DALI's shards);
+* gathered images are the resident images (cache fidelity through the
+  normalize augment);
+* the steady-state program contains ZERO collectives (the gather is
+  shard-LOCAL by construction);
+* epoch streams are deterministic given the epoch counter (restart == rerun).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_collective_structure import _counts
+from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
+from sota_imagenet_tpu.ops.augment import build_val_augment
+
+N, BS, SZ, NDEV = 64, 16, 8, 8
+PER_SHARD = N // NDEV
+
+
+class IndexLoader:
+    """Host loader stub: every pixel of sample i has value i; label = i."""
+
+    def __init__(self, n=N, bs=BS, size=SZ):
+        self.batch_size = bs
+        self.n = n
+        self.size = size
+
+    def __len__(self):
+        return self.n // self.batch_size
+
+    def __iter__(self):
+        for b in range(len(self)):
+            idx = np.arange(b * self.batch_size, (b + 1) * self.batch_size)
+            imgs = np.broadcast_to(
+                idx[:, None, None, None], (len(idx), self.size, self.size, 3)
+            ).astype(np.uint8).copy()
+            yield imgs, idx.astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def feed(mesh8_module):
+    aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
+    return DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+
+
+@pytest.fixture(scope="module")
+def mesh8_module():
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+
+    return create_mesh()
+
+
+def _epoch_labels_per_shard(feed):
+    """labels drawn this epoch, grouped by the data shard they came from."""
+    per_shard = [[] for _ in range(NDEV)]
+    for batch in feed:
+        labs = np.argmax(np.asarray(batch["label"]), axis=-1)
+        bs_local = len(labs) // NDEV
+        for d in range(NDEV):
+            per_shard[d].extend(labs[d * bs_local : (d + 1) * bs_local])
+    return per_shard
+
+
+def test_epoch_covers_every_resident_sample_once(feed):
+    assert len(feed) == PER_SHARD // (BS // NDEV)
+    per_shard = _epoch_labels_per_shard(feed)
+    for d in range(NDEV):
+        resident = set(range(d * PER_SHARD, (d + 1) * PER_SHARD))
+        assert sorted(per_shard[d]) == sorted(resident), f"shard {d}"
+
+
+def test_gathered_images_match_resident_samples(feed):
+    from sota_imagenet_tpu.ops.augment import DATA_MEAN, DATA_STD
+
+    for batch in feed:
+        labs = np.argmax(np.asarray(batch["label"]), axis=-1)
+        # invert the val normalize: pixel value == sample index == label
+        px = np.asarray(batch["image"])[:, 0, 0, 0] * DATA_STD + DATA_MEAN
+        np.testing.assert_allclose(px, labs, atol=0.01)
+
+
+def test_steady_state_program_has_zero_collectives(feed):
+    idx = np.zeros((BS,), np.int32)
+    key = np.zeros((2,), np.uint32)
+    g_idx = jax.make_array_from_process_local_data(feed._idx_sh, idx)
+    text = feed._feed.lower(key, feed.images, feed.labels, g_idx).compile().as_text()
+    c = _counts(text)
+    assert all(v == 0 for v in c.values()), c
+
+
+def test_epoch_streams_deterministic(mesh8_module):
+    aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
+    f1 = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    f2 = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    b1 = [np.asarray(b["label"]) for b in f1]
+    b2 = [np.asarray(b["label"]) for b in f2]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+    # and epoch 2 differs from epoch 1 (the permutation is epoch-seeded)
+    b1e2 = [np.asarray(b["label"]) for b in f1]
+    assert any((a != b).any() for a, b in zip(b1, b1e2))
+
+
+def test_build_loader_dispatches_to_cache(mesh8_module, tmp_path):
+    from sota_imagenet_tpu.config import load
+    from sota_imagenet_tpu.data.pipeline import build_loader
+
+    cfg = load(strict_env=False)
+    cfg.loader.batch_size = 16
+    cfg.loader.image_size = 8
+    cfg.loader.num_classes = 10
+    cfg.loader.backend = "synthetic"
+    cfg.loader.device_cache = True
+    feed = build_loader(cfg.loader, mesh8_module, is_train=True, out_dtype=jnp.float32)
+    assert isinstance(feed, DeviceCacheFeed)
+    batch = next(iter(feed))
+    assert batch["image"].shape == (16, 8, 8, 3)
+    assert batch["label"].shape == (16, 10)
