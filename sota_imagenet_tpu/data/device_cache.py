@@ -133,6 +133,12 @@ class DeviceCacheFeed:
         self._feed = jax.jit(_feed)
         self._idx_sh = NamedSharding(mesh, P("data"))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Resume-consistent sampling (DDP set_epoch contract): the epoch
+        seeds the per-shard permutation, so a resumed run replays the same
+        sample order the original would have drawn."""
+        self.epoch = int(epoch)
+
     def __len__(self):
         return self._n_per_shard // self._bs_local
 

@@ -189,7 +189,9 @@ class Runner:
 
         for epoch in range(start_epoch, epochs):
             self.epoch = epoch
-            if hasattr(loader, "host") and hasattr(loader.host, "set_epoch"):
+            if hasattr(loader, "set_epoch"):  # device-cache feed shuffles itself
+                loader.set_epoch(epoch)
+            elif hasattr(loader, "host") and hasattr(loader.host, "set_epoch"):
                 loader.host.set_epoch(epoch)
             for c in self.callbacks:
                 c.on_epoch_begin(epoch)

@@ -108,6 +108,41 @@ def test_epoch_streams_deterministic(mesh8_module):
     assert any((a != b).any() for a, b in zip(b1, b1e2))
 
 
+def test_set_epoch_resume_consistency(mesh8_module):
+    """DDP set_epoch contract: a resumed feed fast-forwarded to epoch k
+    replays exactly the sample order a continuous run draws at epoch k."""
+    aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
+    cont = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    for _ in range(3):  # advance a continuous run to its 4th epoch
+        list(cont)
+    resumed = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    resumed.set_epoch(3)
+    for a, b in zip(cont, resumed):
+        np.testing.assert_array_equal(np.asarray(a["label"]), np.asarray(b["label"]))
+
+
+def test_composes_with_spatial_mesh():
+    """dp4 x sp2 mesh: cache shards over 'data' only; the gathered batch is
+    replicated over 'spatial' (the step reshards H internally), and the
+    gather program still has zero collectives."""
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=4, spatial=2)
+    aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
+    feed = DeviceCacheFeed(IndexLoader(), mesh, aug)
+    assert feed._n_per_shard == N // 4
+    seen = []
+    for batch in feed:
+        assert batch["image"].shape == (BS, SZ, SZ, 3)
+        seen.extend(np.argmax(np.asarray(batch["label"]), axis=-1))
+    assert sorted(seen) == list(range(N))
+    idx = np.zeros((BS,), np.int32)
+    key = np.zeros((2,), np.uint32)
+    g_idx = jax.make_array_from_process_local_data(feed._idx_sh, idx)
+    text = feed._feed.lower(key, feed.images, feed.labels, g_idx).compile().as_text()
+    assert all(v == 0 for v in _counts(text).values()), _counts(text)
+
+
 def test_build_loader_dispatches_to_cache(mesh8_module, tmp_path):
     from sota_imagenet_tpu.config import load
     from sota_imagenet_tpu.data.pipeline import build_loader
