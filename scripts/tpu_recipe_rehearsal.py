@@ -6,7 +6,8 @@ steps, and the learning proofs (scripts/tpu_accuracy_proof.py) use 20-class
 corpora with short ad-hoc schedules. This runs the EXACT r50_baseline recipe
 shape (reference configs/hydra_exp/1.r50_baseline.yaml:33-41 — warmup
 0.001->1.0 over 8/90 of training then cosine to 0, SGD m=0.9 wd=3e-5, label
-smoothing 0.1, bf16, EMA eval) end-to-end through the real data path (host
+smoothing 0.1, bf16, no EMA: the baseline leaves arg_parser.py:88's
+ema_decay=0 default untouched) end-to-end through the real data path (host
 libjpeg decode -> DeviceFeed -> Pallas augment -> r50 train step) at a scale
 this one-core host can feed: 100 classes x 200 images at 128px, 30 epochs.
 
@@ -147,7 +148,7 @@ def main():
     print(
         json.dumps(
             {
-                "recipe": "r50_baseline shape (warmup 8/90 -> cosine, sgd m0.9 wd3e-5, smooth 0.1, bf16, ema 0.999)",
+                "recipe": "r50_baseline shape (warmup 8/90 -> cosine, sgd m0.9 wd3e-5, smooth 0.1, bf16, no EMA — faithful to 1.r50_baseline.yaml)",
                 "classes": N_CLASSES,
                 "epochs": args.epochs,
                 "image_size": 128,
