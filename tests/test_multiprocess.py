@@ -187,6 +187,53 @@ RECT_WORKER = textwrap.dedent(
 )
 
 
+CACHE_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
+    from sota_imagenet_tpu.ops.augment import build_val_augment
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+
+    pid = jax.process_index()
+    mesh = create_mesh()  # data=8 over 2 procs x 4 devices
+
+    class LocalLoader:  # this process's 32 samples: labels pid*32..pid*32+31
+        batch_size = 8
+        def __iter__(self):
+            for b in range(4):
+                lab = pid * 32 + np.arange(b * 8, (b + 1) * 8)
+                img = np.broadcast_to(lab[:, None, None, None] * 4, (8, 8, 8, 3)).astype(np.uint8).copy()
+                yield img, lab.astype(np.int32)
+        def __len__(self):
+            return 4
+
+    feed = DeviceCacheFeed(LocalLoader(), mesh, build_val_augment(num_classes=64, out_dtype=jnp.float32))
+    assert feed.batch_size == 16 and feed._n_per_shard == 8 and len(feed) == 4, (
+        feed.batch_size, feed._n_per_shard, len(feed))
+    # one epoch: every label this process's 4 global shards hold, exactly once
+    per_shard = {}
+    with mesh:
+        for batch in feed:
+            for shard in batch["label"].addressable_shards:
+                d = shard.index[0].start // 2  # global device position (bs_local=2)
+                per_shard.setdefault(d, []).extend(np.argmax(np.asarray(shard.data), -1))
+    first = pid * 4
+    for d in sorted(per_shard):
+        resident = list(range(pid * 32 + (d - first) * 8, pid * 32 + (d - first + 1) * 8))
+        assert sorted(per_shard[d]) == resident, (d, sorted(per_shard[d]), resident)
+    print(f"CACHE_OK pid={pid} shards={sorted(per_shard)}", flush=True)
+    """
+)
+
+
 def _run_two_procs(tmp_path, worker_src, extra_args=()):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -220,6 +267,16 @@ def test_two_process_data_parallel(tmp_path):
     # both processes observe the SAME global loss (grad all-reduce worked)
     losses = sorted(float(r.split("loss=")[1].split()[0]) for r in results)
     assert abs(losses[0] - losses[1]) < 1e-6, results
+
+
+def test_two_process_device_cache(tmp_path):
+    """Each process fills the HBM cache with ITS local dataset half; one
+    epoch covers every globally-sharded resident sample exactly once (the
+    per-shard permutation is seeded by GLOBAL shard id, so it is
+    process-layout independent)."""
+    outs = _run_two_procs(tmp_path, CACHE_WORKER)
+    oks = [l for o in outs for l in o.splitlines() if l.startswith("CACHE_OK")]
+    assert len(oks) == 2, outs
 
 
 def test_two_process_rect_validation(tmp_path):
