@@ -9,9 +9,10 @@
 set -u
 cd "$(dirname "$0")/.."
 echo $$ > train.pid
-# prefer the installed console script (pyproject.toml); fall back to the
-# checkout shim on hosts where `make setup` hasn't run yet
-TRAIN="python train.py"
-command -v sota-train >/dev/null 2>&1 && TRAIN="sota-train"
+# ALWAYS run the just-synced checkout (a non-editable `sota-train` install
+# would silently pin pre-sync code — version skew across the pod); the
+# console script is only the fallback for installed-without-checkout hosts
+TRAIN="sota-train"
+[ -f train.py ] && TRAIN="python train.py"
 exec env IMAGENET_DIR="${IMAGENET_DIR:-/data/imagenet}" \
   $TRAIN -c "$1" run.auto_resume=true "${@:2}"

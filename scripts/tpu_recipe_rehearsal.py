@@ -33,6 +33,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import zlib
 
 import numpy as np
 
@@ -84,7 +85,9 @@ def generate_corpus(root: str) -> None:
         for cls in range(N_CLASSES):
             d = os.path.join(root, split, f"class_{cls:03d}")
             os.makedirs(d, exist_ok=True)
-            tasks.append((d, cls, n, hash((split, cls)) & 0xFFFFFFFF))
+            # zlib.crc32 NOT hash(): hash is PYTHONHASHSEED-randomized per
+            # interpreter, which would make every regeneration a new corpus
+            tasks.append((d, cls, n, zlib.crc32(f"{split}/{cls}".encode())))
     with Pool(4) as pool:
         pool.map(_gen_class_dir, tasks)
 

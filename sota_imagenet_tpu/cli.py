@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import subprocess
-import sys
 import time
 
 import jax
@@ -196,10 +195,6 @@ def main(argv=None):
                 validate_spatial_extent(mesh, sz)
     lr_phases = phases_from_stages(stages)
     log.info(f"Learning rate stages: {lr_phases}")
-
-    # weight-decay filtering needs params; build state first with a dummy mask,
-    # then rebuild the optimizer with the real mask (cheap, transform only)
-    wd_mask_holder = {}
 
     def wd_mask_fn(params):
         if cfg.filter_from_wd is not None:

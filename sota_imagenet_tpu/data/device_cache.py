@@ -79,6 +79,20 @@ class DeviceCacheFeed:
         if self.batch_size % n_data:
             raise ValueError(f"batch_size {self.batch_size} not divisible by data axis {n_data}")
         self._bs_local = self.batch_size // n_data
+        self._n_data = n_data
+        self._idx_sh = NamedSharding(mesh, P("data"))
+        # fill is LAZY (first __len__/__iter__): progressive-resize resume
+        # skips whole stages and the evaluate-only path never iterates the
+        # train feed — neither should pay a full dataset stream into HBM
+        self._host = host_loader
+        self.images = self.labels = None
+        self._n_per_shard = 0
+
+    def _ensure_filled(self) -> None:
+        if self.images is not None:
+            return
+        host_loader, self._host = self._host, None
+        mesh = self.mesh
 
         # ---- fill: one pass over the host loader ----
         t0 = time.perf_counter()
@@ -94,10 +108,24 @@ class DeviceCacheFeed:
         # even shards: trim the tail so every data shard holds N // n_data
         # (drops < n_data * n_process samples; same convention as drop_last)
         n_proc = max(jax.process_count(), 1)
+        n_data = self._n_data
         shards_here = max(n_data // n_proc, 1)  # data shards this process feeds
         n_local_total = imgs.shape[0] - imgs.shape[0] % shards_here
         imgs, labs = imgs[:n_local_total], labs[:n_local_total]
         self._n_per_shard = n_local_total // shards_here
+        if n_proc > 1:
+            # every process must contribute identical local shapes, or the
+            # assembled global arrays / step counts diverge and the pod hangs
+            # at the first collective — fail loudly instead
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(np.asarray([self._n_per_shard]))
+            if int(counts.min()) != int(counts.max()):
+                raise ValueError(
+                    f"device_cache per-shard sample counts differ across processes: {counts.ravel().tolist()} "
+                    f"— the host loaders' per-process splits must be equal (trim the dataset to a multiple of "
+                    f"processes x shards, like packed/tfrecord sharding does)"
+                )
 
         sh = NamedSharding(mesh, P("data"))
         self.images = jax.make_array_from_process_local_data(sh, imgs)
@@ -109,7 +137,6 @@ class DeviceCacheFeed:
             f"filled in {fill_s:.1f}s over data={n_data}"
         )
         del imgs, labs
-        self._n_data = n_data
 
         # gather is shard-LOCAL: per-device index rows select within that
         # device's resident slice — the compiled program has NO collectives
@@ -131,7 +158,6 @@ class DeviceCacheFeed:
             return self.augment(key, g_img, g_lab)
 
         self._feed = jax.jit(_feed)
-        self._idx_sh = NamedSharding(mesh, P("data"))
 
     def set_epoch(self, epoch: int) -> None:
         """Resume-consistent sampling (DDP set_epoch contract): the epoch
@@ -140,9 +166,11 @@ class DeviceCacheFeed:
         self.epoch = int(epoch)
 
     def __len__(self):
+        self._ensure_filled()
         return self._n_per_shard // self._bs_local
 
     def __iter__(self):
+        self._ensure_filled()
         try:
             cpu0 = jax.local_devices(backend="cpu")[0]
         except RuntimeError:

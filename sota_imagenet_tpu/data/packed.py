@@ -10,9 +10,10 @@ the dataset-prep tool decodes ONCE, applies the exact reference train crop
 (DALI RandomResizedCrop distribution + triangular/cubic resize,
 dali_dataloader.py:65-122) or val resize+center-crop (:145-158), and stores
 raw uint8 pixels. The training-time loader is pure IO: mmap'd shard ->
-zero-copy frombuffer -> batch stack. At 224px a sample is 147 KB, so the
-1.3 GB/s host->device tunnel alone sustains ~8.8k img/s — >3x the r50 step
-rate — on ONE host core.
+zero-copy frombuffer -> batch stack — ~3,400 img/s on ONE host core
+(PERF.md round 4), so host CPU stops being the input bottleneck. (On this
+environment's tunneled TPU the transfer itself then caps e2e at ~35 MB/s;
+`loader.device_cache` removes that too by feeding from HBM.)
 
 Trade-off (documented, not hidden): train-crop diversity is baked at
 dataset-build time, one crop per (image, build). Per-step stochastic
@@ -37,6 +38,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from multiprocessing import Pool
 from typing import List, Optional, Tuple
 
@@ -212,6 +215,7 @@ class PackedLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self._mmaps = {}
+        self._mmap_lock = threading.Lock()
         if self.entries:
             img, label = self._load_one(self.entries[0])
             if img.shape[0] != image_size or img.shape[1] != image_size:
@@ -237,9 +241,12 @@ class PackedLoader:
         path, off, ln = entry
         mm = self._mmaps.get(path)
         if mm is None:
-            with open(path, "rb") as f:
-                mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-            self._mmaps[path] = mm
+            with self._mmap_lock:  # worker threads race the first touch
+                mm = self._mmaps.get(path)
+                if mm is None:
+                    with open(path, "rb") as f:
+                        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                    self._mmaps[path] = mm
         return memoryview(mm)[off : off + ln]
 
     def _load_one(self, entry) -> Tuple[np.ndarray, int]:
@@ -252,13 +259,29 @@ class PackedLoader:
         order = np.arange(len(self.entries))
         if self.is_train:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        # workers parallelize the per-image page-in + memcpy (numpy copies
+        # release the GIL); one core already sustains ~3,400 img/s, real
+        # multi-core TPU-VM hosts scale further
+        pool = ThreadPoolExecutor(self.workers) if self.workers > 1 else None
+        try:
+            yield from self._iter_batches(order, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+        self.epoch += 1
+
+    def _iter_batches(self, order, pool):
         bs, size = self.batch_size, self.image_size
         for b in range(len(self)):
             idxs = order[b * bs : (b + 1) * bs]
             imgs = np.empty((len(idxs), size, size, 3), np.uint8)
             labels = np.empty((len(idxs),), np.int32)
-            for j, i in enumerate(idxs):
-                img, label = self._load_one(self.entries[i])
+            loads = (
+                pool.map(lambda i: self._load_one(self.entries[i]), idxs)
+                if pool is not None
+                else (self._load_one(self.entries[i]) for i in idxs)
+            )
+            for j, (img, label) in enumerate(loads):
                 imgs[j] = img  # the one copy per image
                 labels[j] = label
             if not self.drop_last and len(idxs) < bs:
@@ -273,4 +296,3 @@ class PackedLoader:
                 yield imgs, labels, mask
             else:
                 yield imgs, labels
-        self.epoch += 1

@@ -580,6 +580,8 @@ class GradDistributionTB(Callback):
     def on_batch_end(self, step, metrics):
         if step % self.log_every or not is_master() or self.runner is None:
             return
+        if getattr(self.runner, "tb_writer", None) is None:
+            return  # no sink: don't burn device compute on discarded hists
         if self._jit_hist is None:
             self._build()
         self._buf.append((step, self._jit_hist(self.runner.state.params)))

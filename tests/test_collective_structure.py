@@ -15,7 +15,6 @@ enough that a structural regression (typically 2x+ more ops or
 param-sized gathers) trips.
 """
 
-import re
 
 import jax
 import jax.numpy as jnp
@@ -24,35 +23,11 @@ import pytest
 
 pytestmark = pytest.mark.slow  # heavy tier: excluded from `make test-fast`
 
-OPS = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute", "all-to-all")
-
-
-def _op_lines(text: str, op: str):
-    """Unique collective *definitions* (not operand references)."""
-    return [
-        l
-        for l in text.splitlines()
-        if re.search(rf"= (?:\(?[a-z0-9e\[\],{{}}\s]+\)?\s+)?{op}(?:-start)?\(", l)
-    ]
-
-
-def _counts(text: str):
-    return {op: len(_op_lines(text, op)) for op in OPS}
-
-
-def _result_elems(line: str) -> int:
-    """Element count of a collective's result tensor(s) from its HLO line."""
-    lhs = line.split(" = ", 1)[1]
-    lhs = lhs.split("(", 1)[0]  # type annotation before the op's open paren
-    total = 0
-    for m in re.finditer(r"[a-z][a-z0-9]*\[([0-9,]*)\]", lhs):
-        dims = m.group(1)
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n
-    return total
+from sota_imagenet_tpu.utils.hlo import (
+    collective_counts as _counts,
+    collective_lines as _op_lines,
+    result_elems as _result_elems,
+)
 
 
 @pytest.fixture(scope="module")

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tests.test_collective_structure import _counts
+from sota_imagenet_tpu.utils.hlo import collective_counts as _counts
 from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
 from sota_imagenet_tpu.ops.augment import build_val_augment
 
@@ -86,7 +86,18 @@ def test_gathered_images_match_resident_samples(feed):
         np.testing.assert_allclose(px, labs, atol=0.01)
 
 
+def test_fill_is_lazy(mesh8_module):
+    """Stage-skip on resume / evaluate-only must not pay the HBM stream: the
+    fill runs at first __len__/__iter__, not at construction."""
+    aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
+    f = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    assert f.images is None and f._host is not None
+    assert len(f) == PER_SHARD // (BS // NDEV)
+    assert f.images is not None and f._host is None
+
+
 def test_steady_state_program_has_zero_collectives(feed):
+    len(feed)  # ensure the lazy fill ran even under selective test runs
     idx = np.zeros((BS,), np.int32)
     key = np.zeros((2,), np.uint32)
     g_idx = jax.make_array_from_process_local_data(feed._idx_sh, idx)
@@ -130,6 +141,7 @@ def test_composes_with_spatial_mesh():
     mesh = create_mesh(data=4, spatial=2)
     aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
     feed = DeviceCacheFeed(IndexLoader(), mesh, aug)
+    assert len(feed) == (N // 4) // (BS // 4)  # triggers the lazy fill
     assert feed._n_per_shard == N // 4
     seen = []
     for batch in feed:

@@ -216,7 +216,7 @@ CACHE_WORKER = textwrap.dedent(
             return 4
 
     feed = DeviceCacheFeed(LocalLoader(), mesh, build_val_augment(num_classes=64, out_dtype=jnp.float32))
-    assert feed.batch_size == 16 and feed._n_per_shard == 8 and len(feed) == 4, (
+    assert feed.batch_size == 16 and len(feed) == 4 and feed._n_per_shard == 8, (
         feed.batch_size, feed._n_per_shard, len(feed))
     # one epoch: every label this process's 4 global shards hold, exactly once
     per_shard = {}

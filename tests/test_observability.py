@@ -62,10 +62,13 @@ def test_tensorboard_and_histograms(tmp_path, mesh8):
     assert "input_utilization" in train_m and 0 <= train_m["input_utilization"] <= 1
 
     # The scalar/histogram callbacks BUFFER device values during the epoch and
-    # flush once at epoch end (a per-step float() is a D2H readback that
-    # collapses the axon tunnel; PERF.md round 4) — assert the flush really
-    # wrote per-step events with their original step numbers.
-    from tensorboard.backend.event_processing.event_accumulator import EventAccumulator
+    # flush once at epoch end (a per-step float() is a D2H readback: ~30 ms
+    # RTT tunneled, dispatch-serializing on real TPU VMs; PERF.md round 4) —
+    # assert the flush really wrote per-step events with their original steps.
+    # full `tensorboard` is NOT in the pin set (only tensorboardX writes);
+    # the readback assertions are extra rigor where the package exists
+    tb_ea = pytest.importorskip("tensorboard.backend.event_processing.event_accumulator")
+    EventAccumulator = tb_ea.EventAccumulator
 
     acc = EventAccumulator(str(tmp_path), size_guidance={"histograms": 0})
     acc.Reload()
