@@ -8,14 +8,16 @@
 #          checkpoint in the SAME run dir tree and finish all stages,
 #          crossing the progressive-resize boundary.
 #
-# Usage: scripts/tpu_soak.sh [grace_seconds_after_first_ckpt]
+# Usage: scripts/tpu_soak.sh [grace_seconds_after_first_ckpt] [override ...]
+#   e.g. scripts/tpu_soak.sh 20 loader.device_cache=true
 set -u
 cd "$(dirname "$0")/.."
 GRACE=${1:-20}
+shift $(( $# > 0 ? 1 : 0 ))
 LOGDIR=logs/soak_$(date +%H%M%S)
 
 echo "== phase 1: train, kill -9 ${GRACE}s after the first checkpoint lands =="
-python train.py -c configs/tpu_soak.yaml log.dir="$LOGDIR" > /tmp/soak_p1.log 2>&1 &
+python train.py -c configs/tpu_soak.yaml log.dir="$LOGDIR" "$@" > /tmp/soak_p1.log 2>&1 &
 PID=$!
 # wait (up to 15 min: first remote TPU compile can queue) for a checkpoint,
 # so the kill tests resume-from-checkpoint, not train-from-scratch
@@ -36,7 +38,7 @@ if ! compgen -G "$LOGDIR/*/*/model*.ckpt" > /dev/null; then
 fi
 
 echo "== phase 2: auto_resume =="
-python train.py -c configs/tpu_soak.yaml log.dir="$LOGDIR" run.auto_resume=true > /tmp/soak_p2.log 2>&1
+python train.py -c configs/tpu_soak.yaml log.dir="$LOGDIR" run.auto_resume=true "$@" > /tmp/soak_p2.log 2>&1
 RC=$?
 tail -15 /tmp/soak_p2.log
 echo "exit code: $RC"
