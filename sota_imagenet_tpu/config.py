@@ -73,6 +73,13 @@ class LoaderConfig:
     # north star on decode-starved hosts. Requires <root>/{split}_packed
     # built by create_packed_records at this image_size.
     use_packed: bool = False
+    # HBM-resident dataset cache (TPU addition, data/device_cache.py): fill
+    # the split (or its per-chip dp shard on a pod) into device memory once
+    # per stage, then feed every step with a shard-local gather + device
+    # augment — zero steady-state host->device image traffic. Train samples
+    # with per-shard permutations; val keeps EXACT masked coverage. Pairs
+    # naturally with use_packed (cache stores final uint8 crops either way).
+    device_cache: bool = False
     # TPU additions: explicit backend + host prefetch depth
     backend: str = "auto"  # auto | folder | tfrecord | packed | synthetic
     prefetch: int = 2
@@ -104,12 +111,6 @@ class TrainLoaderConfig(LoaderConfig):
     # (ops/resample.py). Cuts host cost per image ~3x (PERF.md) at the price
     # of a 4x larger (but still uint8) host->device transfer.
     device_resample: bool = False
-    # HBM-resident dataset cache (TPU addition, data/device_cache.py): fill
-    # the train set (or its per-chip dp shard on a pod) into device memory
-    # once per stage, then feed every step with a shard-local gather +
-    # device augment — zero steady-state host->device image traffic. Pairs
-    # naturally with use_packed (cache stores final uint8 crops either way).
-    device_cache: bool = False
 
 
 @dataclass

@@ -44,13 +44,19 @@ from sota_imagenet_tpu.utils.logging import get_logger
 
 
 class DeviceCacheFeed:
-    """Iterator-compatible replacement for DeviceFeed (train only).
+    """Iterator-compatible replacement for DeviceFeed.
 
-    ``host_loader`` is iterated ONCE at construction to fill the cache; it
-    must yield raw ``(images_u8, labels)`` batches (packed/folder loaders).
-    The device-resample split is incompatible (its host batches are
-    variable-geometry canvases + meta, not final crops).
-    """
+    ``host_loader`` is iterated ONCE at first use to fill the cache; it
+    must yield raw ``(images_u8, labels[, mask])`` batches (packed/folder
+    loaders). The device-resample split is incompatible (its host batches
+    are variable-geometry canvases + meta, not final crops).
+
+    Train (``is_train=True``): per-shard permutation sampling, tail trimmed
+    to even shards (drop-last convention). Val (``is_train=False``): EXACT
+    coverage — every real sample is stored exactly once, shards are padded
+    (not trimmed) to a uniform multiple of the per-device batch, and every
+    yielded batch carries a ``mask`` so the weighted metrics stay exact
+    (same contract as the masked streaming val, pipeline.py)."""
 
     def __init__(
         self,
@@ -59,6 +65,7 @@ class DeviceCacheFeed:
         augment_fn,
         rng: Optional[np.ndarray] = None,
         label_divisor: int = 1,
+        is_train: bool = True,
         **_,
     ):
         if getattr(host_loader, "meta_kind", None) == "resample":
@@ -71,6 +78,7 @@ class DeviceCacheFeed:
             rng = host_prng_key(0)
         self.rng = np.asarray(rng)
         self.label_divisor = max(int(label_divisor), 1)
+        self.is_train = is_train
         self.batch_size = host_loader.batch_size * max(jax.process_count(), 1)
         self.epoch = 0
         self._step = 0
@@ -96,23 +104,41 @@ class DeviceCacheFeed:
 
         # ---- fill: one pass over the host loader ----
         t0 = time.perf_counter()
-        imgs_l, labs_l = [], []
+        imgs_l, labs_l, valid_l = [], [], []
         for item in host_loader:
             imgs_l.append(item[0])
             labs_l.append(item[1])
+            valid_l.append(item[2] if len(item) > 2 else np.ones(len(item[1]), np.float32))
         imgs = np.concatenate(imgs_l, axis=0)
         labs = np.concatenate(labs_l, axis=0).astype(np.int32)
-        del imgs_l, labs_l
+        valid = np.concatenate(valid_l, axis=0) > 0.5
+        del imgs_l, labs_l, valid_l
         if self.label_divisor > 1:
             labs = np.where(labs >= 0, labs // self.label_divisor, labs)
-        # even shards: trim the tail so every data shard holds N // n_data
-        # (drops < n_data * n_process samples; same convention as drop_last)
         n_proc = max(jax.process_count(), 1)
         n_data = self._n_data
         shards_here = max(n_data // n_proc, 1)  # data shards this process feeds
-        n_local_total = imgs.shape[0] - imgs.shape[0] % shards_here
-        imgs, labs = imgs[:n_local_total], labs[:n_local_total]
-        self._n_per_shard = n_local_total // shards_here
+        if self.is_train:
+            # trim the tail so every data shard holds N // shards (drops
+            # < shards x processes samples; same convention as drop_last)
+            n_local_total = imgs.shape[0] - imgs.shape[0] % shards_here
+            imgs, labs = imgs[:n_local_total], labs[:n_local_total]
+            self._n_per_shard = n_local_total // shards_here
+        else:
+            # EXACT val: keep every real sample once (drop the host loader's
+            # own pad rows), then pad UP to a uniform per-shard multiple of
+            # the per-device batch; pads carry label -1 and validity 0 so
+            # the weighted metrics ignore them (masked-val contract)
+            imgs, labs = imgs[valid], labs[valid]
+            q = -(-imgs.shape[0] // shards_here)  # ceil: per-shard quota
+            q = -(-q // self._bs_local) * self._bs_local  # full device batches
+            validity = np.zeros((shards_here * q,), np.float32)
+            validity[: imgs.shape[0]] = 1.0
+            pad = shards_here * q - imgs.shape[0]
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+                labs = np.concatenate([labs, np.full(pad, -1, np.int32)])
+            self._n_per_shard = q
         if n_proc > 1:
             # every process must contribute identical local shapes, or the
             # assembled global arrays / step counts diverge and the pod hangs
@@ -130,6 +156,9 @@ class DeviceCacheFeed:
         sh = NamedSharding(mesh, P("data"))
         self.images = jax.make_array_from_process_local_data(sh, imgs)
         self.labels = jax.make_array_from_process_local_data(sh, labs)
+        self._valid = (
+            None if self.is_train else jax.make_array_from_process_local_data(sh, validity)
+        )
         fill_s = time.perf_counter() - t0
         get_logger().info(
             f"Device cache: {self.images.shape[0]} x {imgs.shape[1:]} uint8 "
@@ -153,9 +182,25 @@ class DeviceCacheFeed:
             out_specs=(P("data"), P("data")),
         )
 
-        def _feed(key, imgs_cache, labs_cache, idx):
-            g_img, g_lab = gathered(imgs_cache, labs_cache, idx)
-            return self.augment(key, g_img, g_lab)
+        if self.is_train:
+
+            def _feed(key, imgs_cache, labs_cache, idx):
+                g_img, g_lab = gathered(imgs_cache, labs_cache, idx)
+                return self.augment(key, g_img, g_lab)
+
+        else:
+            gather_mask = shard_map(
+                lambda v, idx: jnp.take(v, idx, axis=0),
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=P("data"),
+            )
+
+            def _feed(key, imgs_cache, labs_cache, idx, valid_cache):
+                g_img, g_lab = gathered(imgs_cache, labs_cache, idx)
+                batch = self.augment(key, g_img, g_lab)
+                batch["mask"] = gather_mask(valid_cache, idx)
+                return batch
 
         self._feed = jax.jit(_feed)
 
@@ -177,18 +222,23 @@ class DeviceCacheFeed:
             cpu0 = None
         rng_host = jax.device_put(self.rng, cpu0)
         steps = len(self)
-        # per-shard epoch permutation, seeded by (epoch, GLOBAL shard id) —
-        # deterministic and process-layout independent (DDP set_epoch analog,
-        # reference train.py:61 via DALI). Each process materializes only its
-        # own shards' index rows (make_array assembles the global array).
         n_proc = max(jax.process_count(), 1)
         shards_here = max(self._n_data // n_proc, 1)
-        first = jax.process_index() * shards_here
-        perms = [
-            np.random.default_rng((0x5EED, self.epoch, d)).permutation(self._n_per_shard)[: steps * self._bs_local]
-            for d in range(first, first + shards_here)
-        ]
-        self.epoch += 1
+        if self.is_train:
+            # per-shard epoch permutation, seeded by (epoch, GLOBAL shard
+            # id) — deterministic and process-layout independent (DDP
+            # set_epoch analog, reference train.py:61 via DALI). Each
+            # process materializes only its own shards' index rows
+            # (make_array assembles the global array).
+            first = jax.process_index() * shards_here
+            perms = [
+                np.random.default_rng((0x5EED, self.epoch, d)).permutation(self._n_per_shard)[: steps * self._bs_local]
+                for d in range(first, first + shards_here)
+            ]
+            self.epoch += 1
+        else:
+            # exact val: fixed sequential sweep; pads are masked out
+            perms = [np.arange(self._n_per_shard)] * shards_here
         for s in range(steps):
             # (shards_here * bs_local,) int32: shard d's row indexes shard
             # d's resident samples; ships with the dispatch (numpy)
@@ -200,4 +250,7 @@ class DeviceCacheFeed:
                     key = np.asarray(jax.random.fold_in(rng_host, self._step))
             else:
                 key = jax.random.fold_in(rng_host, self._step)
-            yield self._feed(key, self.images, self.labels, idx)
+            if self.is_train:
+                yield self._feed(key, self.images, self.labels, idx)
+            else:
+                yield self._feed(key, self.images, self.labels, idx, self._valid)

@@ -624,10 +624,10 @@ def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dty
         )
     else:
         aug = build_val_augment(num_classes=eff_classes, out_dtype=dtype)
-    if is_train and loader_cfg.get("device_cache", False):
+    if loader_cfg.get("device_cache", False):
         from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
 
-        return DeviceCacheFeed(host, mesh, aug, rng=rng, label_divisor=divisor)
+        return DeviceCacheFeed(host, mesh, aug, rng=rng, label_divisor=divisor, is_train=is_train)
     return DeviceFeed(host, mesh, aug, rng=rng, prefetch=loader_cfg.get("prefetch", 2), label_divisor=divisor)
 
 

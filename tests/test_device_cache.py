@@ -155,6 +155,50 @@ def test_composes_with_spatial_mesh():
     assert all(v == 0 for v in _counts(text).values()), _counts(text)
 
 
+class IndexValLoader:
+    """Masked streaming-val stub: 52 real samples, padded final batch
+    (3-tuple convention of the masked loaders, pipeline.py/packed.py)."""
+
+    def __init__(self, n=52, bs=16, size=SZ):
+        self.batch_size = bs
+        self.n = n
+        self.size = size
+
+    def __len__(self):
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self):
+        for b in range(len(self)):
+            lo = b * self.batch_size
+            real = min(self.batch_size, self.n - lo)
+            idx = np.concatenate([np.arange(lo, lo + real), np.full(self.batch_size - real, lo + real - 1)])
+            imgs = np.broadcast_to(idx[:, None, None, None], (self.batch_size, self.size, self.size, 3)).astype(np.uint8).copy()
+            labs = np.where(np.arange(self.batch_size) < real, idx, -1).astype(np.int32)
+            mask = (np.arange(self.batch_size) < real).astype(np.float32)
+            yield imgs, labs, mask
+
+
+def test_val_cache_exact_coverage_with_ragged_tail(mesh8_module):
+    """Exact-val contract: 52 real samples over 8 shards (not divisible) —
+    every real sample evaluated exactly once (mask 1), pads masked out,
+    every epoch identical."""
+    aug = build_val_augment(num_classes=64, out_dtype=jnp.float32)
+    feed = DeviceCacheFeed(IndexValLoader(), mesh8_module, aug, is_train=False)
+    for _ in range(2):  # val sweeps are identical epoch to epoch
+        seen = []
+        mask_total = 0.0
+        for batch in feed:
+            labs = np.argmax(np.asarray(batch["label"]), axis=-1)
+            mask = np.asarray(batch["mask"])
+            mask_total += mask.sum()
+            seen.extend(labs[mask > 0.5])
+            # padded rows carry label -1 -> one-hot all zeros -> argmax 0;
+            # they must never leak through the mask
+            assert set(labs[mask < 0.5]) <= {0}, labs[mask < 0.5]
+        assert mask_total == 52.0
+        assert sorted(seen) == list(range(52))
+
+
 def test_build_loader_dispatches_to_cache(mesh8_module, tmp_path):
     from sota_imagenet_tpu.config import load
     from sota_imagenet_tpu.data.pipeline import build_loader
