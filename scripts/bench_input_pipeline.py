@@ -69,6 +69,11 @@ def main():
         help="HBM-resident dataset cache (data/device_cache.py): fill once, then zero steady-state host->device image traffic",
     )
     ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="with --device-cache: gather+augment+train step in ONE dispatch (DeviceCacheFeed.fused_step)",
+    )
+    ap.add_argument(
         "--canonical-step-rate",
         type=float,
         default=None,
@@ -114,9 +119,8 @@ def main():
     sched = lambda s: jnp.asarray(0.1, jnp.float32)
     tx = build_optimizer({"_target_": "sgd", "momentum": 0.9, "weight_decay": 3e-5}, sched)
     sam = {"kind": "asam_unitwise", "rho": 0.01} if args.sam else None
-    step = jax.jit(
-        steps_lib.build_train_step(model, crit, tx, sched, sam=sam, input_dtype=jnp.bfloat16), donate_argnums=(0,)
-    )
+    inner_step = steps_lib.build_train_step(model, crit, tx, sched, sam=sam, input_dtype=jnp.bfloat16)
+    step = jax.jit(inner_step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(0)
     state = steps_lib.init_state(model, tx, (args.bs, args.size, args.size, 3), rng, input_dtype=jnp.bfloat16)
     state = jax.device_put(state, replicate(mesh))
@@ -157,19 +161,37 @@ def main():
     # cross-checked against --canonical-step-rate (bench.py's fresh-process
     # measurement, the strictest denominator).
 
+    if args.fused:
+        if not args.device_cache:
+            raise SystemExit("--fused requires --device-cache")
+        fused = feed.fused_step(inner_step)
+        key0, idx0 = next(feed.iter_stubs())
+
+        def run_one(state, stub):
+            return fused(state, stub[0], stub[1], feed.images, feed.labels, rng)
+
+        def epoch_stubs():
+            return feed.iter_stubs()
+    else:
+
+        def run_one(state, batch):
+            return step(state, batch, rng)
+
+        def epoch_stubs():
+            return iter(feed)
+
     # ---- warmup: compile + a few executions, then flip to sync mode ----
-    it = iter(feed)
-    batch0 = next(it)
+    batch0 = (key0, idx0) if args.fused else next(iter(feed))
     for _ in range(3):
-        state, metrics = step(state, batch0, rng)
+        state, metrics = run_one(state, batch0)
     jax.device_get(metrics["loss"])  # force everything; first D2H
 
     # ---- end-to-end: real read -> transfer -> augment -> step ----
     done = 0
     t0 = time.perf_counter()
     while done < args.batches:
-        for batch in feed:
-            state, metrics = step(state, batch, rng)
+        for item in epoch_stubs():
+            state, metrics = run_one(state, item)
             done += 1
             if done >= args.batches:
                 break
@@ -178,11 +200,11 @@ def main():
 
     # ---- compute-only rate: repeat the step on the cached device batch ----
     for _ in range(3):
-        state, metrics = step(state, batch0, rng)
+        state, metrics = run_one(state, batch0)
     jax.device_get(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(30):
-        state, metrics = step(state, batch0, rng)
+        state, metrics = run_one(state, batch0)
     jax.device_get(metrics["loss"])
     step_rate = args.bs * 30 / (time.perf_counter() - t0)
 
@@ -201,7 +223,7 @@ def main():
                 "canonical_step_rate": args.canonical_step_rate,
                 "cores_per_chip_needed_at_500px": round(denom / 471.0, 2),
                 "model": args.model, "sam": args.sam, "device_resample": args.device_resample,
-                "packed": args.packed, "device_cache": args.device_cache,
+                "packed": args.packed, "device_cache": args.device_cache, "fused": args.fused,
             }
         )
     )

@@ -188,6 +188,8 @@ class DeviceCacheFeed:
                 g_img, g_lab = gathered(imgs_cache, labs_cache, idx)
                 return self.augment(key, g_img, g_lab)
 
+            # unjitted: composable into a larger jit (see fused_step)
+            self.gather_augment = _feed
         else:
             gather_mask = shard_map(
                 lambda v, idx: jnp.take(v, idx, axis=0),
@@ -204,6 +206,35 @@ class DeviceCacheFeed:
 
         self._feed = jax.jit(_feed)
 
+    def fused_step(self, step_fn):
+        """ONE-dispatch training: gather + augment + train step compiled
+        into a single program (train only).
+
+        ``step_fn`` must be the UNJITTED ``fn(state, batch, rng) ->
+        (state, metrics)`` from train.steps.build_train_step. Returns a
+        jitted ``fused(state, key, idx, images, labels, rng)`` (state
+        donated). Two wins over the two-dispatch path: one host dispatch
+        per step instead of two (each costs a tunnel round trip here,
+        and serializes the dispatch thread on real TPU VMs), and the
+        augment's elementwise tail can fuse into the first conv's input
+        chain instead of materializing a bf16 batch between programs.
+        Drive with :meth:`iter_stubs`; numerics are bit-identical to the
+        two-dispatch path (tests/test_device_cache.py)."""
+        if not self.is_train:
+            raise ValueError("fused_step is train-only")
+        self._ensure_filled()
+        ga = self.gather_augment
+
+        def fused(state, key, idx, images, labels, rng):
+            return step_fn(state, ga(key, images, labels, idx), rng)
+
+        return jax.jit(fused, donate_argnums=(0,))
+
+    def iter_stubs(self):
+        """One epoch of (key, idx) dispatch stubs for fused_step — the same
+        keys/permutations __iter__ would consume (advances the epoch)."""
+        yield from self._iter_indices()
+
     def set_epoch(self, epoch: int) -> None:
         """Resume-consistent sampling (DDP set_epoch contract): the epoch
         seeds the per-shard permutation, so a resumed run replays the same
@@ -215,6 +246,14 @@ class DeviceCacheFeed:
         return self._n_per_shard // self._bs_local
 
     def __iter__(self):
+        if self.is_train:
+            for key, idx in self._iter_indices():
+                yield self._feed(key, self.images, self.labels, idx)
+        else:
+            for key, idx in self._iter_indices():
+                yield self._feed(key, self.images, self.labels, idx, self._valid)
+
+    def _iter_indices(self):
         self._ensure_filled()
         try:
             cpu0 = jax.local_devices(backend="cpu")[0]
@@ -250,7 +289,4 @@ class DeviceCacheFeed:
                     key = np.asarray(jax.random.fold_in(rng_host, self._step))
             else:
                 key = jax.random.fold_in(rng_host, self._step)
-            if self.is_train:
-                yield self._feed(key, self.images, self.labels, idx)
-            else:
-                yield self._feed(key, self.images, self.labels, idx, self._valid)
+            yield key, idx

@@ -155,6 +155,54 @@ def test_composes_with_spatial_mesh():
     assert all(v == 0 for v in _counts(text).values()), _counts(text)
 
 
+def test_fused_step_bit_identical_to_two_dispatch(mesh8_module):
+    """fused_step (gather+augment+train step, ONE program) must replay the
+    two-dispatch path bit-for-bit — same keys, same permutations, same
+    stochastic augment draws."""
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models.cmodel import CModel
+    from sota_imagenet_tpu.ops.augment import build_train_augment
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import replicate
+    from sota_imagenet_tpu.train import steps as steps_lib
+
+    model = CModel(
+        layer_config=[
+            {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+            {"module": "ReLU"},
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [8, N]},
+        ]
+    )
+    crit = CrossEntropyLoss(smoothing=0.1)
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9}, sched)
+    inner = steps_lib.build_train_step(model, crit, tx, sched, input_dtype=jnp.float32)
+    # stochastic augment: proves the key threading matches, not just the data
+    aug = build_train_augment(num_classes=N, out_dtype=jnp.float32, re_prob=0.5, color_twist_prob=0.5)
+    rng = jax.random.PRNGKey(1)
+
+    def init():
+        s = steps_lib.init_state(model, tx, (BS, SZ, SZ, 3), jax.random.PRNGKey(0), input_dtype=jnp.float32)
+        return jax.device_put(s, replicate(mesh8_module))
+
+    step2 = jax.jit(inner)
+    sA = init()
+    feedA = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    for batch in feedA:
+        sA, mA = step2(sA, batch, rng)
+
+    feedB = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    fused = feedB.fused_step(inner)
+    sB = init()
+    for key, idx in feedB.iter_stubs():
+        sB, mB = fused(sB, key, idx, feedB.images, feedB.labels, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params), jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(mA["loss"]), np.asarray(mB["loss"]))
+
+
 class IndexValLoader:
     """Masked streaming-val stub: 52 real samples, padded final batch
     (3-tuple convention of the masked loaders, pipeline.py/packed.py)."""
