@@ -154,7 +154,16 @@ class DeviceCacheFeed:
                 )
 
         sh = NamedSharding(mesh, P("data"))
-        self.images = jax.make_array_from_process_local_data(sh, imgs)
+        try:
+            self.images = jax.make_array_from_process_local_data(sh, imgs)
+        except Exception as e:  # XlaRuntimeError has no stable class across backends
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                raise RuntimeError(
+                    f"loader.device_cache does not fit: {imgs.nbytes / shards_here / 1e9:.2f} GB/device-shard of "
+                    f"images (+activations/params/optimizer). Shard over more chips (mesh.data), cache a "
+                    f"pre-resized smaller tree, or fall back to streaming (loader.use_packed without device_cache)."
+                ) from e
+            raise
         self.labels = jax.make_array_from_process_local_data(sh, labs)
         self._valid = (
             None if self.is_train else jax.make_array_from_process_local_data(sh, validity)
