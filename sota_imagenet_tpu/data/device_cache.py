@@ -119,39 +119,45 @@ class DeviceCacheFeed:
         n_data = self._n_data
         shards_here = max(n_data // n_proc, 1)  # data shards this process feeds
         if self.is_train:
-            # trim the tail so every data shard holds N // shards (drops
-            # < shards x processes samples; same convention as drop_last)
-            n_local_total = imgs.shape[0] - imgs.shape[0] % shards_here
-            imgs, labs = imgs[:n_local_total], labs[:n_local_total]
-            self._n_per_shard = n_local_total // shards_here
+            # drop-last convention: every data shard holds N // shards
+            n_per = imgs.shape[0] // shards_here
         else:
             # EXACT val: keep every real sample once (drop the host loader's
-            # own pad rows), then pad UP to a uniform per-shard multiple of
-            # the per-device batch; pads carry label -1 and validity 0 so
-            # the weighted metrics ignore them (masked-val contract)
+            # own pad rows); the per-shard quota is padded UP to a multiple
+            # of the per-device batch below
             imgs, labs = imgs[valid], labs[valid]
             q = -(-imgs.shape[0] // shards_here)  # ceil: per-shard quota
-            q = -(-q // self._bs_local) * self._bs_local  # full device batches
-            validity = np.zeros((shards_here * q,), np.float32)
+            n_per = -(-q // self._bs_local) * self._bs_local  # full device batches
+        if n_proc > 1:
+            # every process must contribute identical local shapes, or the
+            # assembled global arrays / step counts diverge and the pod
+            # hangs at the first collective. Harmonize instead of failing:
+            # train trims to the global MIN (DDP drop-last analog); val pads
+            # to the global MAX (pads are masked — exactness preserved)
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(np.asarray([n_per]))
+            lo, hi = int(counts.min()), int(counts.max())
+            if lo != hi:
+                get_logger().warning(
+                    f"device_cache per-shard counts differ across processes {counts.ravel().tolist()}: "
+                    + ("trimming to the min (drop-last)" if self.is_train else "padding to the max (masked)")
+                )
+            n_per = lo if self.is_train else hi
+        if self.is_train:
+            keep = n_per * shards_here
+            imgs, labs = imgs[:keep], labs[:keep]
+        else:
+            # pads carry label -1 and validity 0 so the weighted metrics
+            # ignore them (same contract as the masked streaming val)
+            total = n_per * shards_here
+            validity = np.zeros((total,), np.float32)
             validity[: imgs.shape[0]] = 1.0
-            pad = shards_here * q - imgs.shape[0]
+            pad = total - imgs.shape[0]
             if pad:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
                 labs = np.concatenate([labs, np.full(pad, -1, np.int32)])
-            self._n_per_shard = q
-        if n_proc > 1:
-            # every process must contribute identical local shapes, or the
-            # assembled global arrays / step counts diverge and the pod hangs
-            # at the first collective — fail loudly instead
-            from jax.experimental import multihost_utils
-
-            counts = multihost_utils.process_allgather(np.asarray([self._n_per_shard]))
-            if int(counts.min()) != int(counts.max()):
-                raise ValueError(
-                    f"device_cache per-shard sample counts differ across processes: {counts.ravel().tolist()} "
-                    f"— the host loaders' per-process splits must be equal (trim the dataset to a multiple of "
-                    f"processes x shards, like packed/tfrecord sharding does)"
-                )
+        self._n_per_shard = n_per
 
         sh = NamedSharding(mesh, P("data"))
         try:

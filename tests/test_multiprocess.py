@@ -234,6 +234,83 @@ CACHE_WORKER = textwrap.dedent(
 )
 
 
+CACHE_UNEVEN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
+    from sota_imagenet_tpu.ops.augment import build_val_augment
+    from sota_imagenet_tpu.parallel.mesh import create_mesh
+
+    pid = jax.process_index()
+    mesh = create_mesh()  # data=8 over 2 procs x 4 devices
+
+    # ---- val with UNEVEN real counts (20 vs 13): pad to global max ----
+    class ValLoader:  # masked streaming-val convention (3-tuples)
+        batch_size = 8
+        n = 20 if pid == 0 else 13
+        base = pid * 30
+        def __len__(self):
+            return -(-self.n // self.batch_size)
+        def __iter__(self):
+            for b in range(len(self)):
+                lo = b * 8
+                real = min(8, self.n - lo)
+                lab = np.where(np.arange(8) < real, self.base + lo + np.arange(8), -1).astype(np.int32)
+                img = np.broadcast_to(np.maximum(lab, 0)[:, None, None, None] * 2, (8, 8, 8, 3)).astype(np.uint8).copy()
+                yield img, lab, (np.arange(8) < real).astype(np.float32)
+
+    feed = DeviceCacheFeed(ValLoader(), mesh, build_val_augment(num_classes=64, out_dtype=jnp.float32), is_train=False)
+    # pid0 quota: ceil(ceil(20/4)/2)*2 = 6; pid1: 4 -> harmonized max = 6
+    assert len(feed) == 3 and feed._n_per_shard == 6, (feed._n_per_shard, len(feed))
+    seen, mask_total = [], 0.0
+    with mesh:
+        for batch in feed:
+            for lab_sh, m_sh in zip(batch["label"].addressable_shards, batch["mask"].addressable_shards):
+                lab = np.argmax(np.asarray(lab_sh.data), -1)
+                m = np.asarray(m_sh.data)
+                mask_total += m.sum()
+                seen.extend(lab[m > 0.5])
+    expect = list(range(pid * 30, pid * 30 + (20 if pid == 0 else 13)))
+    assert sorted(seen) == expect, (sorted(seen), expect)
+    n_here = 20 if pid == 0 else 13
+    assert mask_total == float(n_here), mask_total
+
+    # ---- train with UNEVEN local counts (36 vs 32): trim to global min ----
+    class TrainLoader:
+        batch_size = 8
+        n = 36 if pid == 0 else 32
+        def __iter__(self):
+            lab = pid * 64 + np.arange(self.n)
+            for lo in range(0, self.n, 8):
+                l = lab[lo : lo + 8]
+                img = np.broadcast_to(l[:, None, None, None], (len(l), 8, 8, 3)).astype(np.uint8).copy()
+                yield img, l.astype(np.int32)
+        def __len__(self):
+            return -(-self.n // 8)
+
+    from sota_imagenet_tpu.ops.augment import build_val_augment as _bva
+    tfeed = DeviceCacheFeed(TrainLoader(), mesh, _bva(num_classes=128, out_dtype=jnp.float32), is_train=True)
+    assert len(tfeed) == 4 and tfeed._n_per_shard == 8, (tfeed._n_per_shard, len(tfeed))
+    tseen = []
+    with mesh:
+        for batch in tfeed:
+            for lab_sh in batch["label"].addressable_shards:
+                tseen.extend(np.argmax(np.asarray(lab_sh.data), -1))
+    # pid0's 36 rows trimmed to the first 32; every resident exactly once
+    assert sorted(tseen) == list(range(pid * 64, pid * 64 + 32)), sorted(tseen)
+    print(f"UNEVEN_OK pid={pid}", flush=True)
+    """
+)
+
+
 def _run_two_procs(tmp_path, worker_src, extra_args=()):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -276,6 +353,16 @@ def test_two_process_device_cache(tmp_path):
     process-layout independent)."""
     outs = _run_two_procs(tmp_path, CACHE_WORKER)
     oks = [l for o in outs for l in o.splitlines() if l.startswith("CACHE_OK")]
+    assert len(oks) == 2, outs
+
+
+def test_two_process_device_cache_uneven_counts(tmp_path):
+    """Per-process sample counts that disagree (the norm for val, possible
+    for folder train splits) must harmonize, not hang or fail: train trims
+    to the global min (drop-last analog), val pads to the global max with
+    masked pads (exactness preserved)."""
+    outs = _run_two_procs(tmp_path, CACHE_UNEVEN_WORKER)
+    oks = [l for o in outs for l in o.splitlines() if l.startswith("UNEVEN_OK")]
     assert len(oks) == 2, outs
 
 
