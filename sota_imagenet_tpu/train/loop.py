@@ -134,6 +134,7 @@ class Runner:
             image_sharding=self.image_sharding,
             **opts,
         )
+        self._train_step_fn = train_step  # unjitted: DeviceCacheFeed.fused_step composes it
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._build_eval_steps(model)
 
@@ -186,6 +187,16 @@ class Runner:
         spe = steps_per_epoch or len(loader)
         self.batch_size = loader.batch_size
         self._build_steps(spe, base_epoch=start_epoch)
+        # HBM-cache train feeds compose gather+augment+step into ONE
+        # dispatched program (bit-identical to the two-dispatch path,
+        # tests/test_device_cache.py) — one host round trip per step and the
+        # augment tail fuses into the first conv's input chain
+        fused = None
+        if getattr(loader, "is_train", False) and hasattr(loader, "fused_step"):
+            fused = loader.fused_step(self._train_step_fn)
+            from sota_imagenet_tpu.utils.logging import get_logger
+
+            get_logger().info("Fused input path: gather+augment+train step in one program")
 
         for epoch in range(start_epoch, epochs):
             self.epoch = epoch
@@ -198,7 +209,7 @@ class Runner:
             dev_metrics: List[Dict[str, jnp.ndarray]] = []
             t0 = time.time()
             data_time = 0.0  # host time blocked waiting for input batches
-            it = iter(loader)
+            it = loader.iter_stubs() if fused is not None else iter(loader)
             i = 0
             while i < spe:
                 td = time.perf_counter()
@@ -207,7 +218,11 @@ class Runner:
                 except StopIteration:
                     break
                 data_time += time.perf_counter() - td
-                self.state, m = self._train_step(self.state, batch, self.rng)
+                if fused is not None:
+                    key, idx = batch
+                    self.state, m = fused(self.state, key, idx, loader.images, loader.labels, self.rng)
+                else:
+                    self.state, m = self._train_step(self.state, batch, self.rng)
                 if self._serialize_dispatch:
                     jax.block_until_ready(m)
                 dev_metrics.append(m)

@@ -262,3 +262,63 @@ def test_build_loader_dispatches_to_cache(mesh8_module, tmp_path):
     batch = next(iter(feed))
     assert batch["image"].shape == (16, 8, 8, 3)
     assert batch["label"].shape == (16, 10)
+
+
+def test_runner_fit_uses_fused_path_identically(mesh8_module):
+    """Runner.fit over a train DeviceCacheFeed auto-selects the fused
+    one-dispatch program; final params must equal the two-dispatch loop
+    bit-for-bit (same epoch seeds, same permutations, same augment draws)."""
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models.cmodel import CModel
+    from sota_imagenet_tpu.ops.augment import build_train_augment
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.train.loop import Runner
+
+    def make_runner():
+        model = CModel(
+            layer_config=[
+                {"module": "conv3x3", "args": [3, 8], "kwargs": {"stride": 2}},
+                {"module": "ReLU"},
+                {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+                {"module": "Linear", "args": [8, N]},
+            ]
+        )
+        r = Runner(
+            model,
+            CrossEntropyLoss(smoothing=0.1),
+            lambda sched: build_optimizer({"_target_": "sgd", "momentum": 0.9}, sched),
+            lr_phases=[{"ep": (0, 1), "lr": (0.1, 0.1), "mode": "linear"}],
+            input_dtype=jnp.float32,
+            rng=jax.random.PRNGKey(7),
+        )
+        r.init_state((BS, SZ, SZ, 3), jax.random.PRNGKey(0))
+        return r
+
+    def make_feed():
+        aug = build_train_augment(num_classes=N, out_dtype=jnp.float32, re_prob=0.5)
+        return DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+
+    class HideFused:
+        """Proxy that hides fused_step -> Runner takes the two-dispatch path."""
+
+        def __init__(self, feed):
+            self._feed = feed
+
+        def __getattr__(self, k):
+            if k == "fused_step":
+                raise AttributeError(k)
+            return getattr(self._feed, k)
+
+        def __iter__(self):
+            return iter(self._feed)
+
+        def __len__(self):
+            return len(self._feed)
+
+    rA = make_runner()
+    rA.fit(make_feed(), epochs=1)  # fused
+    rB = make_runner()
+    rB.fit(HideFused(make_feed()), epochs=1)  # two-dispatch
+    for a, b in zip(jax.tree_util.tree_leaves(rA.state.params), jax.tree_util.tree_leaves(rB.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert rA.train_metrics["loss"] == rB.train_metrics["loss"]
