@@ -264,6 +264,21 @@ def test_build_loader_dispatches_to_cache(mesh8_module, tmp_path):
     assert batch["label"].shape == (16, 10)
 
 
+def test_rectangular_val_cache_rejected(mesh8_module):
+    # RectValLoader yields 3 static shapes; a fixed-shape HBM cache can't
+    # hold them — the combination must fail loudly at build time, not with a
+    # numpy concatenate error mid-fill
+    from sota_imagenet_tpu.config import load
+    from sota_imagenet_tpu.data.pipeline import build_loader
+
+    cfg = load(strict_env=False)
+    cfg.val_loader.backend = "synthetic"
+    cfg.val_loader.device_cache = True
+    cfg.val_loader.rectangular = True
+    with pytest.raises(ValueError, match="rectangular"):
+        build_loader(cfg.val_loader, mesh8_module, is_train=False, out_dtype=jnp.float32)
+
+
 def test_runner_fit_uses_fused_path_identically(mesh8_module):
     """Runner.fit over a train DeviceCacheFeed auto-selects the fused
     one-dispatch program; final params must equal the two-dispatch loop
