@@ -17,9 +17,16 @@ frequency but preserves orientation/structure; mirror maps the stripe
 orientations to themselves; there is no color twist in the baseline recipe,
 and the 18-degree hue spacing already survived it in the round-2 proofs).
 
-Usage: python scripts/tpu_recipe_rehearsal.py [--epochs 30] [--keep]
+Round-4 extension: --recipe selects the recipe FAMILY to rehearse —
+r50_baseline (above), nfnet (15.eca_nfnet_l0.yaml: AdamW + heavy aug +
+CutmixMixup + compression-scaled EMA eval + accumulate 2), or nf_lamb
+(41.nf_conv-act_lamb.yaml: the CModel-compiled NF trunk + LAMB +
+ortho callbacks). Same corpus, same pass criterion.
+
+Usage: python scripts/tpu_recipe_rehearsal.py [--recipe r50_baseline]
+       [--epochs N] [--keep] [--data DIR]
 Prints one JSON line with the full val curve; exits 0 iff the curve rises
-monotonically (2%-tolerance) to a plateau >= --threshold.
+to a plateau >= --threshold with no late regression and no crater.
 """
 
 from __future__ import annotations
@@ -128,13 +135,60 @@ def check_curve(accs, threshold: float, tol: float = 2.0, collapse: float = 15.0
     return plateau >= threshold and late_ok and not collapsed, plateau, dips
 
 
+# Recipe SHAPES. Each entry: config file, warmup fraction of total epochs
+# (0 = pure cosine), warmup lr endpoints, cosine lr endpoints, default
+# epoch count, and the provenance string recorded in the JSON line.
+RECIPES = {
+    "r50_baseline": dict(
+        config="tpu_rehearsal.yaml",
+        warm_frac=8 / 90,
+        warm_lr=(0.001, 1.0),
+        cos_lr=(1.0, 0.0),
+        epochs=30,
+        desc=(
+            "r50_baseline shape (warmup 8/90 -> cosine, sgd m0.9 wd3e-5, "
+            "smooth 0.1, bf16, no EMA — faithful to 1.r50_baseline.yaml)"
+        ),
+    ),
+    "nfnet": dict(
+        config="tpu_rehearsal_nfnet.yaml",
+        warm_frac=5 / 360,
+        warm_lr=(0.0, 0.01),
+        cos_lr=(0.01, 0.0),
+        epochs=36,
+        desc=(
+            "eca_nfnet_l0 shape (warmup 5/360 -> cosine, adamw wd1e-3, "
+            "smooth 0.1, heavy aug + random interp, CutmixMixup p1, "
+            "EMA eval w/ compression-scaled decay, accumulate 2 — "
+            "faithful to 15.eca_nfnet_l0.yaml)"
+        ),
+    ),
+    "nf_lamb": dict(
+        config="tpu_rehearsal_nf_lamb.yaml",
+        warm_frac=0.0,
+        warm_lr=None,
+        cos_lr=(0.003, 0.0),
+        epochs=30,
+        desc=(
+            "nf_conv-act CModel + LAMB shape (pure cosine 0.003->0, badam "
+            "lamb wd5e-3, smooth 0.1, heavy aug, CutmixMixup p1 + "
+            "OrthoInit/OrthoLoss — faithful to 41.nf_conv-act_lamb.yaml)"
+        ),
+    ),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--recipe", choices=sorted(RECIPES), default="r50_baseline")
+    ap.add_argument("--epochs", type=int, default=None, help="default: per-recipe")
     ap.add_argument("--threshold", type=float, default=95.0)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--data", default=None, help="reuse an existing corpus dir")
     args = ap.parse_args()
+    recipe = RECIPES[args.recipe]
+    if args.epochs is None:
+        args.epochs = recipe["epochs"]
 
     work = tempfile.mkdtemp(prefix="tpu_rehearsal_")
     if args.data:
@@ -144,16 +198,25 @@ def main():
         print(f"generating {N_CLASSES}x{TRAIN_PER_CLASS}+{VAL_PER_CLASS} corpus -> {data}", flush=True)
         generate_corpus(data)
 
-    warm = round(args.epochs * 8 / 90)  # r50_baseline warmup fraction
+    if recipe["warm_frac"] > 0:
+        warm = max(1, round(args.epochs * recipe["warm_frac"]))
+        w0, w1 = recipe["warm_lr"]
+        c0, c1 = recipe["cos_lr"]
+        stages = (
+            f"[{{start: 0, end: {warm}, lr: [{w0}, {w1}]}}, "
+            f"{{start: {warm}, end: {args.epochs}, lr: [{c0}, {c1}], lr_mode: cos}}]"
+        )
+    else:
+        c0, c1 = recipe["cos_lr"]
+        stages = f"[{{start: 0, end: {args.epochs}, lr: [{c0}, {c1}], lr_mode: cos}}]"
     env = dict(os.environ, IMAGENET_DIR=data)
     cmd = [
         sys.executable,
         os.path.join(ROOT, "train.py"),
         "-c",
-        os.path.join(ROOT, "configs", "tpu_rehearsal.yaml"),
+        os.path.join(ROOT, "configs", recipe["config"]),
         f"log.dir={work}/logs",
-        f"run.stages=[{{start: 0, end: {warm}, lr: [0.001, 1.0]}}, "
-        f"{{start: {warm}, end: {args.epochs}, lr: [1.0, 0.0], lr_mode: cos}}]",
+        f"run.stages={stages}",
     ]
     print(" ".join(cmd), flush=True)
     out = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True, text=True, timeout=4 * 3600)
@@ -163,7 +226,7 @@ def main():
     print(
         json.dumps(
             {
-                "recipe": "r50_baseline shape (warmup 8/90 -> cosine, sgd m0.9 wd3e-5, smooth 0.1, bf16, no EMA — faithful to 1.r50_baseline.yaml)",
+                "recipe": recipe["desc"],
                 "classes": N_CLASSES,
                 "epochs": args.epochs,
                 "image_size": 128,
