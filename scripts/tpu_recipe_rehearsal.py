@@ -123,16 +123,21 @@ def check_curve(accs, threshold: float, tol: float = 2.0, collapse: float = 15.0
     best = 0.0
     dips = []
     collapsed = False
+    late_ok = True
+    tail_start = len(accs) - max(len(accs) // 4, 1)
     for i, a in enumerate(accs):
         if a < best - tol:
+            # compared against the RUNNING best so a curve still rising into
+            # the final quarter is not punished for its own later epochs
             dips.append((i, a, best))
+            if i >= tail_start:
+                late_ok = False
         if a < best - collapse:
             collapsed = True
         best = max(best, a)
-    tail = accs[-max(len(accs) // 4, 1):]
+    tail = accs[tail_start:]
     plateau = float(np.mean(tail))
-    late_ok = bool(tail) and min(tail) >= best - tol
-    return plateau >= threshold and late_ok and not collapsed, plateau, dips
+    return bool(tail) and plateau >= threshold and late_ok and not collapsed, plateau, dips
 
 
 # Recipe SHAPES. Each entry: config file, warmup fraction of total epochs

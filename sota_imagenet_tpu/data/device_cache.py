@@ -109,6 +109,11 @@ class DeviceCacheFeed:
             imgs_l.append(item[0])
             labs_l.append(item[1])
             valid_l.append(item[2] if len(item) > 2 else np.ones(len(item[1]), np.float32))
+        if not imgs_l:
+            raise ValueError(
+                "loader.device_cache: the host loader yielded no batches on this process "
+                "(empty data shard?) — the cache cannot even infer the image shape"
+            )
         imgs = np.concatenate(imgs_l, axis=0)
         labs = np.concatenate(labs_l, axis=0).astype(np.int32)
         valid = np.concatenate(valid_l, axis=0) > 0.5
@@ -119,7 +124,11 @@ class DeviceCacheFeed:
         n_data = self._n_data
         shards_here = max(n_data // n_proc, 1)  # data shards this process feeds
         if self.is_train:
-            # drop-last convention: every data shard holds N // shards
+            # drop any masked pad rows first (3-tuple host loaders pad the
+            # tail batch with validity 0 / label -1 — caching those would
+            # train on all-zero one-hots), then the drop-last convention:
+            # every data shard holds N // shards
+            imgs, labs = imgs[valid], labs[valid]
             n_per = imgs.shape[0] // shards_here
         else:
             # EXACT val: keep every real sample once (drop the host loader's
@@ -155,7 +164,12 @@ class DeviceCacheFeed:
             validity[: imgs.shape[0]] = 1.0
             pad = total - imgs.shape[0]
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+                # a process can hold ZERO valid val samples (uneven pod
+                # split) — imgs[-1:] would then repeat to zero rows and the
+                # per-process local shapes would diverge; pad rows are masked
+                # anyway, so zeros are as good a filler as a repeated sample
+                pad_src = imgs[-1:] if imgs.shape[0] else np.zeros((1,) + imgs.shape[1:], imgs.dtype)
+                imgs = np.concatenate([imgs, np.repeat(pad_src, pad, axis=0)])
                 labs = np.concatenate([labs, np.full(pad, -1, np.int32)])
         self._n_per_shard = n_per
 

@@ -597,6 +597,14 @@ def _build_host_loader(loader_cfg: ConfigNode, is_train: bool):
 
 
 def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dtype=None):
+    if not is_train and loader_cfg.get("device_cache", False) and loader_cfg.get("rectangular", False):
+        # RectValLoader yields aspect-bucketed batches of 3 different static
+        # shapes — a single fixed-shape HBM cache can't hold them. Reject
+        # BEFORE building the host loader (RectVal scans the whole val tree).
+        raise ValueError(
+            "val_loader.device_cache is incompatible with val_loader.rectangular "
+            "(the cache stores one fixed shape; use the square masked val or drop device_cache)"
+        )
     host = _build_host_loader(loader_cfg, is_train)
     import jax.numpy as jnp
 
@@ -627,13 +635,6 @@ def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dty
     if loader_cfg.get("device_cache", False):
         from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
 
-        if not is_train and loader_cfg.get("rectangular", False):
-            # RectValLoader yields aspect-bucketed batches of 3 different
-            # static shapes — a single fixed-shape HBM cache can't hold them
-            raise ValueError(
-                "val_loader.device_cache is incompatible with val_loader.rectangular "
-                "(the cache stores one fixed shape; use the square masked val or drop device_cache)"
-            )
         return DeviceCacheFeed(host, mesh, aug, rng=rng, label_divisor=divisor, is_train=is_train)
     return DeviceFeed(host, mesh, aug, rng=rng, prefetch=loader_cfg.get("prefetch", 2), label_divisor=divisor)
 

@@ -247,6 +247,20 @@ def test_val_cache_exact_coverage_with_ragged_tail(mesh8_module):
         assert sorted(seen) == list(range(52))
 
 
+def test_train_cache_drops_masked_pad_rows(mesh8_module):
+    """A masked 3-tuple host loader feeding a TRAIN cache: the pad rows
+    (validity 0, label -1) must be dropped at fill, not cached and trained
+    on as all-zero one-hots."""
+    aug = build_val_augment(num_classes=64, out_dtype=jnp.float32)
+    feed = DeviceCacheFeed(IndexValLoader(), mesh8_module, aug, is_train=True)
+    seen = []
+    for batch in feed:
+        seen.extend(np.argmax(np.asarray(batch["label"]), axis=-1))
+    # 52 valid rows // 8 shards = 6/shard -> 48 resident, all REAL samples
+    assert len(seen) == 48
+    assert set(seen) <= set(range(52))
+
+
 def test_build_loader_dispatches_to_cache(mesh8_module, tmp_path):
     from sota_imagenet_tpu.config import load
     from sota_imagenet_tpu.data.pipeline import build_loader

@@ -296,8 +296,7 @@ CACHE_UNEVEN_WORKER = textwrap.dedent(
         def __len__(self):
             return -(-self.n // 8)
 
-    from sota_imagenet_tpu.ops.augment import build_val_augment as _bva
-    tfeed = DeviceCacheFeed(TrainLoader(), mesh, _bva(num_classes=128, out_dtype=jnp.float32), is_train=True)
+    tfeed = DeviceCacheFeed(TrainLoader(), mesh, build_val_augment(num_classes=128, out_dtype=jnp.float32), is_train=True)
     assert len(tfeed) == 4 and tfeed._n_per_shard == 8, (tfeed._n_per_shard, len(tfeed))
     tseen = []
     with mesh:
@@ -306,6 +305,34 @@ CACHE_UNEVEN_WORKER = textwrap.dedent(
                 tseen.extend(np.argmax(np.asarray(lab_sh.data), -1))
     # pid0's 36 rows trimmed to the first 32; every resident exactly once
     assert sorted(tseen) == list(range(pid * 64, pid * 64 + 32)), sorted(tseen)
+
+    # ---- val where one process holds ZERO real samples (its host loader
+    # yields only fully-masked pad batches): pads must zero-fill, local
+    # shapes must still harmonize, coverage = the other process's samples ----
+    class EmptyValLoader:
+        batch_size = 8
+        def __len__(self):
+            return 1
+        def __iter__(self):
+            yield (np.zeros((8, 8, 8, 3), np.uint8), np.full(8, -1, np.int32), np.zeros(8, np.float32))
+
+    zfeed = DeviceCacheFeed(
+        ValLoader() if pid == 0 else EmptyValLoader(),
+        mesh, build_val_augment(num_classes=64, out_dtype=jnp.float32), is_train=False,
+    )
+    assert len(zfeed) == 3 and zfeed._n_per_shard == 6, (zfeed._n_per_shard, len(zfeed))
+    zseen, zmask = [], 0.0
+    with mesh:
+        for batch in zfeed:
+            for lab_sh, m_sh in zip(batch["label"].addressable_shards, batch["mask"].addressable_shards):
+                lab = np.argmax(np.asarray(lab_sh.data), -1)
+                m = np.asarray(m_sh.data)
+                zmask += m.sum()
+                zseen.extend(lab[m > 0.5])
+    if pid == 0:
+        assert sorted(zseen) == list(range(0, 20)) and zmask == 20.0, (sorted(zseen), zmask)
+    else:
+        assert zseen == [] and zmask == 0.0, (zseen, zmask)
     print(f"UNEVEN_OK pid={pid}", flush=True)
     """
 )

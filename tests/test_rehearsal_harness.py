@@ -32,6 +32,15 @@ def test_mid_schedule_dip_does_not_fail():
     assert ok and len(dips) == 2
 
 
+def test_still_rising_into_tail_passes():
+    # a slow-converging but healthy curve: every tail epoch is a new best;
+    # the late-regression check must compare against the RUNNING best, not
+    # the final best (which would veto any curve still improving)
+    accs = [10, 30, 50, 70, 80, 88, 92, 95, 96, 98, 99, 100]
+    ok, plateau, dips = rehearsal.check_curve(accs, threshold=95.0)
+    assert ok and plateau > 98 and dips == []
+
+
 def test_late_regression_fails():
     # tail epoch regresses >2 points below the running best
     accs = [10, 50, 90, 99, 100, 100, 100, 100, 100, 100, 100, 96.0]
