@@ -158,24 +158,35 @@ RECIPES = {
     "nfnet": dict(
         config="tpu_rehearsal_nfnet.yaml",
         warm_frac=5 / 360,
-        warm_lr=(0.0, 0.01),
-        cos_lr=(0.01, 0.0),
+        # Peak lr is BATCH-SCALED 0.01 -> 0.0025: the reference ran this
+        # recipe at effective batch 1024 (256/rank x 2 GPUs x accumulate 2,
+        # 15.eca_nfnet_l0.yaml:30-31 comments) vs 256 here (128 global x
+        # accumulate 2); at the unscaled 0.01 the run diverges mid-warmup
+        # (measured stability edge ~0.005 at this scale — PERF.md round 4,
+        # per-step probe: gnorm 1e-1 -> inf between lr 0.004 and 0.009).
+        # Same class of compression correction as the EMA decay below.
+        warm_lr=(0.0, 0.0025),
+        cos_lr=(0.0025, 0.0),
         epochs=36,
         desc=(
             "eca_nfnet_l0 shape (warmup 5/360 -> cosine, adamw wd1e-3, "
             "smooth 0.1, heavy aug + random interp, CutmixMixup p1, "
-            "EMA eval w/ compression-scaled decay, accumulate 2 — "
-            "faithful to 15.eca_nfnet_l0.yaml)"
+            "EMA eval w/ compression-scaled decay, accumulate 2, peak lr "
+            "batch-scaled 1024->256 — faithful to 15.eca_nfnet_l0.yaml)"
         ),
     ),
     "nf_lamb": dict(
         config="tpu_rehearsal_nf_lamb.yaml",
         warm_frac=0.0,
         warm_lr=None,
-        cos_lr=(0.003, 0.0),
+        # the reference uses 0.001 ("lower lr for lamb experiments" /
+        # "previous run was unsuccessful probably due to too large step",
+        # 41.nf_conv-act_lamb.yaml:3,100-101); LAMB's trust ratio makes lr
+        # the per-layer relative step size, so it is NOT batch-rescaled
+        cos_lr=(0.001, 0.0),
         epochs=30,
         desc=(
-            "nf_conv-act CModel + LAMB shape (pure cosine 0.003->0, badam "
+            "nf_conv-act CModel + LAMB shape (pure cosine 0.001->0, badam "
             "lamb wd5e-3, smooth 0.1, heavy aug, CutmixMixup p1 + "
             "OrthoInit/OrthoLoss — faithful to 41.nf_conv-act_lamb.yaml)"
         ),
