@@ -237,7 +237,14 @@ def main(argv=None):
     mask = wd_mask_fn(probe_state.params)
 
     def tx_factory(sched):
-        return build_optimizer(dict(cfg.optim), sched, wd_mask=mask)
+        tx = build_optimizer(dict(cfg.optim), sched, wd_mask=mask)
+        if cfg.run.skip_nonfinite:
+            # AMP-skip parity (reference callbacks.py:308-309): drop
+            # non-finite updates instead of NaN-ing the params for good
+            import optax
+
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=int(cfg.run.skip_nonfinite))
+        return tx
 
     runner = Runner(
         model,

@@ -176,6 +176,14 @@ class RunnerConfig:
     # batches/images; torch needs hand-wrapped torch.utils.checkpoint for
     # this (no reference analog). See train/steps.remat_policy.
     remat: Any = False
+    # Skip optimizer updates whose gradients contain NaN/Inf, up to N
+    # consecutive skips before giving up (optax.apply_if_finite). 0 = off.
+    # The bf16 analog of the reference's AMP grad-scaler step skip
+    # (reference callbacks.py:308-309: "scaler.step will skip
+    # optimizer.step if grads contain inf/nan"): one transient bad step
+    # must not permanently NaN the params, while SUSTAINED divergence
+    # still surfaces (after N consecutive skips the update goes through).
+    skip_nonfinite: int = 0
     extra_callbacks: List[Any] = field(default_factory=list)
     evaluate: bool = False
 
