@@ -8,17 +8,45 @@ compute path, not host decode. Prints ONE JSON line.
 Baseline for vs_baseline: the reference's 4xV100 run (1.r50_baseline.yaml:5-6)
 did 90 epochs * 1.28M images in 10h41.7m => ~2993 img/s total => ~748
 img/s/GPU (V100, fp16, bs 256/GPU).
+
+Measurement robustness (round-5 hardening, after BENCH_r04's 45% transient):
+the axon tunnel/backend occasionally serves a slow window (PERF.md round-4
+postmortem), and a single ~1 s window made that window the round's number of
+record. Now: >=3 windows of >=10 s (or >=200 iters) each, report the MEDIAN
+with a spread field; if spread > 10% the run warns on stderr and takes up to
+3 extra windows (median over all — a transient slow window can no longer
+define the result).
+
+Self-describing efficiency fields (PERF.md roofline model, rounds 2-3):
+  mfu                    = achieved conv FLOP/s / chip peak bf16 FLOP/s
+                           (conv-only FLOPs: 4.09 GFLOP/img fwd x3 passes —
+                           conservative, ignores BN/elementwise FLOPs)
+  hbm_roofline_fraction  = bandwidth-bound floor time / measured step time
+                           (traffic model ~11x conv-activation bytes +
+                           optimizer/param traffic ~ 30.4 GB/step @ bs128/224)
+The step is HBM-bound: expect mfu ~ 0.16 and hbm_roofline_fraction ~ 0.8 at
+the ~2,6xx img/s/chip operating point measured in rounds 1-3.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_IMG_PER_SEC_PER_CHIP = 90 * 1_281_167 / (10 * 3600 + 41.7 * 60) / 4  # ≈ 748.6
+
+# roofline model constants (PERF.md "Compute roofline" / "Bandwidth roofline")
+CONV_GFLOP_PER_IMG_FWD = 4.09  # r50 @224, fwd only
+PEAK_BF16_TFLOPS = 197.0  # this chip class's bf16 MXU peak
+HBM_PEAK_GBPS = 819.0  # this chip class's HBM peak
+ACT_BYTES_BS128_224 = 2.71e9  # A: conv-output activations, bf16, bs128 @224
+ACT_PASSES = 11.0  # fwd ~4A + bwd ~7A passes over activation-sized tensors
+PARAM_TRAFFIC_BYTES = 0.6e9  # optimizer/param traffic per step
 
 
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
@@ -83,15 +111,39 @@ def main():
         state, metrics = train_step(state, batch, rng)
     jax.device_get(metrics["loss"])
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch, rng)
-    jax.device_get(metrics["loss"])
-    dt = time.perf_counter() - t0
+    def window(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = train_step(state, batch, rng)
+        jax.device_get(metrics["loss"])  # full drain (tunnel-safe sync)
+        return time.perf_counter() - t0
 
-    img_per_sec = bs * iters / dt
-    img_per_sec_per_chip = img_per_sec / n_chips
+    # calibrate: size each window to >=10 s (or >=200 iters, whichever first)
+    est = window(20) / 20
+    iters = min(200, max(20, int(10.5 / est) + 1))
+
+    windows = [bs * iters / window(iters) for _ in range(3)]
+
+    def spread_of(w):
+        med = statistics.median(w)
+        return (max(w) - min(w)) / med, med
+
+    spread, med = spread_of(windows)
+    while spread > 0.10 and len(windows) < 6:
+        print(
+            f"bench: window spread {spread:.1%} > 10% ({[round(w, 1) for w in windows]}"
+            " img/s) — transient tunnel/backend window suspected, taking another",
+            file=sys.stderr,
+        )
+        windows.append(bs * iters / window(iters))
+        spread, med = spread_of(windows)
+
+    img_per_sec_per_chip = med / n_chips
+    step_s = per_chip_bs / img_per_sec_per_chip
+    mfu = (img_per_sec_per_chip * CONV_GFLOP_PER_IMG_FWD * 3 * 1e9) / (PEAK_BF16_TFLOPS * 1e12)
+    act_bytes = ACT_BYTES_BS128_224 * (per_chip_bs / 128) * (size / 224) ** 2
+    hbm_floor_s = (ACT_PASSES * act_bytes + PARAM_TRAFFIC_BYTES) / (HBM_PEAK_GBPS * 1e9)
     print(
         json.dumps(
             {
@@ -99,6 +151,11 @@ def main():
                 "value": round(img_per_sec_per_chip, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "spread": round(spread, 4),
+                "windows_img_per_sec_per_chip": [round(w / n_chips, 1) for w in windows],
+                "iters_per_window": iters,
+                "mfu": round(mfu, 4),
+                "hbm_roofline_fraction": round(hbm_floor_s / step_s, 4),
             }
         )
     )

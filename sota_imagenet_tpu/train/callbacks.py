@@ -578,10 +578,16 @@ class GradDistributionTB(Callback):
         self._jit_hist = jax.jit(hist)
 
     def on_batch_end(self, step, metrics):
-        if step % self.log_every or not is_master() or self.runner is None:
+        if step % self.log_every or self.runner is None:
             return
-        if getattr(self.runner, "tb_writer", None) is None:
-            return  # no sink: don't burn device compute on discarded hists
+        # The jitted reduce runs over the globally-sharded params: on a
+        # multi-process pod EVERY process must dispatch it (a master-only
+        # launch over non-fully-addressable arrays errors/hangs the pod) —
+        # only the TensorBoard write at epoch end is master-gated. The
+        # outputs are tiny replicated scalars/counts, so the non-master
+        # device_get-free drop at epoch end is cheap.
+        if jax.process_count() == 1 and getattr(self.runner, "tb_writer", None) is None:
+            return  # single process, no sink: don't burn device compute
         if self._jit_hist is None:
             self._build()
         self._buf.append((step, self._jit_hist(self.runner.state.params)))

@@ -27,6 +27,7 @@ from sota_imagenet_tpu.utils.hlo import (
     collective_counts as _counts,
     collective_lines as _op_lines,
     result_elems as _result_elems,
+    result_elems_each as _result_elems_each,
 )
 
 
@@ -132,7 +133,9 @@ def test_dp_tp_structure(compiled_modes):
     assert c["all-gather"] <= 16, c  # measured 11
     assert c["collective-permute"] == 0, c
     for l in _op_lines(compiled_modes["dp_tp"], "all-gather"):
-        assert _result_elems(l) < head_elems, f"head-sized all-gather defeats TP: {l[:160]}"
+        # per-tensor: a combined gather may bundle several small tensors
+        for n in _result_elems_each(l):
+            assert n < head_elems, f"head-sized all-gather defeats TP: {l[:160]}"
 
 
 def test_zero1_structure(compiled_modes):
@@ -153,7 +156,10 @@ def test_zero1_structure(compiled_modes):
     assert len(lines) <= 3 * len(leaves), (len(lines), len(leaves))  # measured 94 vs 62 leaves
     total = 0
     for l in lines:
-        n = _result_elems(l)
-        assert n <= largest_leaf, f"gather larger than any param leaf: {l[:160]}"
-        total += n
+        # per-tensor so that XLA's combined (tuple-result) all-gathers are
+        # judged on their member tensors, while the volume guard still sums
+        # everything (these previously counted as ZERO — ADVICE r4)
+        for n in _result_elems_each(l):
+            assert n <= largest_leaf, f"gather larger than any param leaf: {l[:160]}"
+            total += n
     assert total <= 1.5 * param_elems, (total, param_elems)

@@ -55,6 +55,15 @@ def _leaf0(params):
     return np.asarray(jax.tree_util.tree_leaves(params)[0])
 
 
+def _any_nonfinite(params):
+    # NaN propagation is leaf-dependent (a BN bias can stay finite at 0 while
+    # the conv/dense kernels go NaN) — check the whole tree, not one leaf.
+    return any(
+        not np.all(np.isfinite(np.asarray(leaf)))
+        for leaf in jax.tree_util.tree_leaves(params)
+    )
+
+
 def test_poisoned_step_skipped_then_recovers():
     runner = _runner(skip_n=3)
     runner.init_state((8, 16, 16, 3))
@@ -82,7 +91,7 @@ def test_without_skip_params_go_nan():
     rng = jax.random.PRNGKey(0)
     runner.state, _ = runner._train_step(runner.state, _batch(poison=True), rng)
     # without the guard one bad step is permanent (what the NFNet probe hit)
-    assert not np.all(np.isfinite(_leaf0(runner.state.params)))
+    assert _any_nonfinite(runner.state.params)
 
 
 def test_sustained_divergence_gives_up():
@@ -94,7 +103,7 @@ def test_sustained_divergence_gives_up():
     rng = jax.random.PRNGKey(0)
     for _ in range(4):
         runner.state, _ = runner._train_step(runner.state, _batch(poison=True), rng)
-    assert not np.all(np.isfinite(_leaf0(runner.state.params)))
+    assert _any_nonfinite(runner.state.params)
 
 
 def test_config_schema_default():
