@@ -80,6 +80,11 @@ class LoaderConfig:
     # with per-shard permutations; val keeps EXACT masked coverage. Pairs
     # naturally with use_packed (cache stores final uint8 crops either way).
     device_cache: bool = False
+    # device_cache fill granularity: host batches are buffered to ~this many
+    # MB, then written into the preallocated HBM buffer (transient host RSS
+    # ~= one chunk instead of 2-3x the process shard). 0 = single monolithic
+    # transfer (fine at a few hundred MB).
+    fill_chunk_mb: int = 256
     # TPU additions: explicit backend + host prefetch depth
     backend: str = "auto"  # auto | folder | tfrecord | packed | synthetic
     prefetch: int = 2

@@ -635,7 +635,15 @@ def build_loader(loader_cfg: ConfigNode, mesh, is_train: bool, rng=None, out_dty
     if loader_cfg.get("device_cache", False):
         from sota_imagenet_tpu.data.device_cache import DeviceCacheFeed
 
-        return DeviceCacheFeed(host, mesh, aug, rng=rng, label_divisor=divisor, is_train=is_train)
+        return DeviceCacheFeed(
+            host,
+            mesh,
+            aug,
+            rng=rng,
+            label_divisor=divisor,
+            is_train=is_train,
+            fill_chunk_mb=loader_cfg.get("fill_chunk_mb", 256),
+        )
     return DeviceFeed(host, mesh, aug, rng=rng, prefetch=loader_cfg.get("prefetch", 2), label_divisor=divisor)
 
 

@@ -414,8 +414,11 @@ class Timer(Callback):
             return
         dt = time.time() - self._t0
         ips = self._images / dt if dt > 0 else 0.0
+        # labelled as what it measures: host time NOT blocked on input (a
+        # proxy — see loop.py's input_utilization comment; the e2e proof
+        # lives in scripts/bench_input_pipeline.py)
         util = train_metrics.get("input_utilization")
-        util_s = f" | input util {util * 100:.1f}%" if util is not None else ""
+        util_s = f" | host-wait-free {util * 100:.1f}%" if util is not None else ""
         get_logger().info(f"Epoch {epoch:3d} | {dt:.1f}s | {ips:.1f} img/s{util_s}")
 
 

@@ -72,7 +72,10 @@ def test_epoch_covers_every_resident_sample_once(feed):
     assert len(feed) == PER_SHARD // (BS // NDEV)
     per_shard = _epoch_labels_per_shard(feed)
     for d in range(NDEV):
-        resident = set(range(d * PER_SHARD, (d + 1) * PER_SHARD))
+        # interleaved routing contract: stream row i lives on shard i % NDEV
+        # (device_cache.py fill machinery — lets the chunked fill route each
+        # chunk without knowing the final per-shard count)
+        resident = set(range(d, NDEV * PER_SHARD, NDEV))
         assert sorted(per_shard[d]) == sorted(resident), f"shard {d}"
 
 
@@ -257,6 +260,53 @@ def test_train_cache_drops_masked_pad_rows(mesh8_module):
     for batch in feed:
         seen.extend(np.argmax(np.asarray(batch["label"]), axis=-1))
     # 52 valid rows // 8 shards = 6/shard -> 48 resident, all REAL samples
+    assert len(seen) == 48
+    assert set(seen) <= set(range(52))
+
+
+def _epoch_batches(feed):
+    return [{k: np.asarray(v) for k, v in b.items()} for b in feed]
+
+
+@pytest.mark.parametrize("chunk_kb", [1, 4])  # 1 KB -> many write rounds; 4 KB -> few
+def test_chunked_fill_equals_monolithic_train(mesh8_module, chunk_kb):
+    """round-4 VERDICT #5: the streamed fill (bounded host RSS, preallocated
+    sharded buffer + dynamic_update_slice rounds) must yield batch streams
+    IDENTICAL to the monolithic single-transfer fill."""
+    aug = build_val_augment(num_classes=N, out_dtype=jnp.float32)
+    mono = DeviceCacheFeed(IndexLoader(), mesh8_module, aug, fill_chunk_mb=0)
+    # sub-MB chunks against the 24 KB dataset: forces several write rounds
+    chunk = DeviceCacheFeed(IndexLoader(), mesh8_module, aug, fill_chunk_mb=chunk_kb / 1024.0)
+    assert len(mono) == len(chunk)
+    assert mono._n_per_shard == chunk._n_per_shard
+    for ep in range(2):
+        for a, b in zip(_epoch_batches(mono), _epoch_batches(chunk)):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_chunked_fill_equals_monolithic_val(mesh8_module):
+    """Masked-val equality incl. the ragged tail: same masks, same real rows
+    (pads are zero-image/-1-label in both paths)."""
+    aug = build_val_augment(num_classes=64, out_dtype=jnp.float32)
+    mono = DeviceCacheFeed(IndexValLoader(), mesh8_module, aug, is_train=False, fill_chunk_mb=0)
+    # ~1 KB chunks: several rounds + a carried remainder across rounds
+    chunk = DeviceCacheFeed(IndexValLoader(), mesh8_module, aug, is_train=False, fill_chunk_mb=1 / 1024.0)
+    assert len(mono) == len(chunk)
+    for a, b in zip(_epoch_batches(mono), _epoch_batches(chunk)):
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_chunked_fill_drops_masked_pad_rows_train(mesh8_module):
+    """The chunked path must apply the same fill-time pad-row filter as the
+    monolithic one (52 valid of 64 streamed -> 48 resident)."""
+    aug = build_val_augment(num_classes=64, out_dtype=jnp.float32)
+    feed = DeviceCacheFeed(IndexValLoader(), mesh8_module, aug, is_train=True, fill_chunk_mb=1 / 1024.0)
+    seen = []
+    for batch in feed:
+        seen.extend(np.argmax(np.asarray(batch["label"]), axis=-1))
     assert len(seen) == 48
     assert set(seen) <= set(range(52))
 
