@@ -201,6 +201,13 @@ def main():
     ap.add_argument("--threshold", type=float, default=95.0)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--data", default=None, help="reuse an existing corpus dir")
+    ap.add_argument(
+        "--override",
+        action="append",
+        default=[],
+        help="extra train.py dotted overrides (e.g. loader.device_cache=true) — "
+        "used by the decode-free-tier accuracy A/B (round-4 VERDICT #4)",
+    )
     args = ap.parse_args()
     recipe = RECIPES[args.recipe]
     if args.epochs is None:
@@ -233,7 +240,7 @@ def main():
         os.path.join(ROOT, "configs", recipe["config"]),
         f"log.dir={work}/logs",
         f"run.stages={stages}",
-    ]
+    ] + args.override
     print(" ".join(cmd), flush=True)
     out = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True, text=True, timeout=4 * 3600)
     accs = [float(a) for a in re.findall(r"Val\s+Acc@1:\s*([0-9.]+)", out.stdout)]
@@ -243,6 +250,7 @@ def main():
         json.dumps(
             {
                 "recipe": recipe["desc"],
+                "overrides": args.override,
                 "classes": N_CLASSES,
                 "epochs": args.epochs,
                 "image_size": 128,
