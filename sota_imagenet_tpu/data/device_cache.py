@@ -451,6 +451,35 @@ class DeviceCacheFeed:
 
         return jax.jit(fused, donate_argnums=(0,))
 
+    def input_cost_fraction(self, step_fn, state, rng) -> dict:
+        """COMPILED-COST attribution of the input stage inside the fused
+        program: the fraction of the one dispatched program's flops / HBM
+        bytes that the gather+augment contributes (XLA HLO cost analysis on
+        the lowered modules — no backend compile, no execution).
+
+        This is the honest fused-mode complement to the per-epoch
+        ``input_utilization`` host-wait proxy (train/loop.py): with one
+        fused program there IS no host wait to measure, so input health is
+        a cost share of the compiled step, not a stall fraction. The cost
+        model reads the unoptimized HLO (pre-fusion), so it slightly
+        overstates the input share — an upper bound, which is the right
+        direction for a health indicator."""
+        self._ensure_filled()
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        idx = jax.ShapeDtypeStruct((self.batch_size,), jnp.int32, sharding=self._idx_sh)
+        ga = self.gather_augment
+        ga_cost = jax.jit(ga).lower(key, self.images, self.labels, idx).cost_analysis()
+        fused_cost = (
+            jax.jit(lambda s, k, i, im, lb, r: step_fn(s, ga(k, im, lb, i), r))
+            .lower(state, key, idx, self.images, self.labels, rng)
+            .cost_analysis()
+        )
+        out = {}
+        for name, k in (("flops", "flops"), ("bytes", "bytes accessed")):
+            num, den = float(ga_cost.get(k, 0.0)), float(fused_cost.get(k, 0.0))
+            out[name] = num / den if den > 0 else 0.0
+        return out
+
     def iter_stubs(self):
         """One epoch of (key, idx) dispatch stubs for fused_step — the same
         keys/permutations __iter__ would consume (advances the epoch)."""

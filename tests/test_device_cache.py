@@ -206,6 +206,41 @@ def test_fused_step_bit_identical_to_two_dispatch(mesh8_module):
     np.testing.assert_array_equal(np.asarray(mA["loss"]), np.asarray(mB["loss"]))
 
 
+def test_input_cost_fraction(mesh8_module):
+    """Fused-mode input attribution (cost model, not host wait): the
+    gather+augment share of the one compiled program must be a proper
+    fraction — positive (the input is not free) and well below the model's
+    own cost for any real trunk."""
+    from sota_imagenet_tpu.losses import CrossEntropyLoss
+    from sota_imagenet_tpu.models.cmodel import CModel
+    from sota_imagenet_tpu.ops.augment import build_train_augment
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.parallel.mesh import replicate
+    from sota_imagenet_tpu.train import steps as steps_lib
+
+    model = CModel(
+        layer_config=[
+            {"module": "conv3x3", "args": [3, 32]},
+            {"module": "conv3x3", "args": [32, 32]},
+            {"module": "FastGlobalAvgPool2d", "kwargs": {"flatten": True}},
+            {"module": "Linear", "args": [32, N]},
+        ]
+    )
+    crit = CrossEntropyLoss(smoothing=0.1)
+    sched = lambda s: jnp.asarray(0.1, jnp.float32)
+    tx = build_optimizer({"_target_": "sgd", "momentum": 0.9}, sched)
+    inner = steps_lib.build_train_step(model, crit, tx, sched, input_dtype=jnp.float32)
+    aug = build_train_augment(num_classes=N, out_dtype=jnp.float32)
+    feed = DeviceCacheFeed(IndexLoader(), mesh8_module, aug)
+    state = jax.device_put(
+        steps_lib.init_state(model, tx, (BS, SZ, SZ, 3), jax.random.PRNGKey(0), input_dtype=jnp.float32),
+        replicate(mesh8_module),
+    )
+    frac = feed.input_cost_fraction(inner, state, jax.random.PRNGKey(1))
+    assert 0.0 < frac["bytes"] < 0.5, frac
+    assert 0.0 < frac["flops"] < 0.5, frac
+
+
 class IndexValLoader:
     """Masked streaming-val stub: 52 real samples, padded final batch
     (3-tuple convention of the masked loaders, pipeline.py/packed.py)."""
