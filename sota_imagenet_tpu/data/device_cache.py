@@ -468,11 +468,27 @@ class DeviceCacheFeed:
         key = jax.ShapeDtypeStruct((2,), jnp.uint32)
         idx = jax.ShapeDtypeStruct((self.batch_size,), jnp.int32, sharding=self._idx_sh)
         ga = self.gather_augment
-        ga_cost = jax.jit(ga).lower(key, self.images, self.labels, idx).cost_analysis()
-        fused_cost = (
-            jax.jit(lambda s, k, i, im, lb, r: step_fn(s, ga(k, im, lb, i), r))
-            .lower(state, key, idx, self.images, self.labels, rng)
-            .cost_analysis()
+
+        def _cost(lowered):
+            # Lowered.cost_analysis() is a local-client HLO pass; the axon
+            # tunnel's TPU client returns None for it (observed round 5).
+            # Fall back to the compiled executable's cost properties —
+            # the compile is cached, and the fused program is about to be
+            # compiled for training anyway.
+            c = lowered.cost_analysis()
+            if not c:
+                c = lowered.compile().cost_analysis()
+            if isinstance(c, (list, tuple)):  # some backends wrap in a list
+                c = c[0] if c else None
+            if not c:
+                raise RuntimeError("HLO cost analysis unavailable on this backend")
+            return c
+
+        ga_cost = _cost(jax.jit(ga).lower(key, self.images, self.labels, idx))
+        fused_cost = _cost(
+            jax.jit(lambda s, k, i, im, lb, r: step_fn(s, ga(k, im, lb, i), r)).lower(
+                state, key, idx, self.images, self.labels, rng
+            )
         )
         out = {}
         for name, k in (("flops", "flops"), ("bytes", "bytes accessed")):
