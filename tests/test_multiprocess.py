@@ -226,9 +226,16 @@ CACHE_WORKER = textwrap.dedent(
                 d = shard.index[0].start // 2  # global device position (bs_local=2)
                 per_shard.setdefault(d, []).extend(np.argmax(np.asarray(shard.data), -1))
     first = pid * 4
+    seen = []
     for d in sorted(per_shard):
-        resident = list(range(pid * 32 + (d - first) * 8, pid * 32 + (d - first + 1) * 8))
+        # round-5 fill layout (chunked == monolithic): local stream row i
+        # lives on local shard i % shards_here at position i // shards_here
+        # (device_cache.py "Shard routing"), so shard j holds rows j, j+4, ...
+        resident = [pid * 32 + i for i in range(d - first, 32, 4)]
         assert sorted(per_shard[d]) == resident, (d, sorted(per_shard[d]), resident)
+        seen.extend(per_shard[d])
+    # and the epoch covers this process's whole half exactly once
+    assert sorted(seen) == list(range(pid * 32, pid * 32 + 32)), sorted(seen)
     print(f"CACHE_OK pid={pid} shards={sorted(per_shard)}", flush=True)
     """
 )
