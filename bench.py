@@ -49,6 +49,42 @@ ACT_PASSES = 11.0  # fwd ~4A + bwd ~7A passes over activation-sized tensors
 PARAM_TRAFFIC_BYTES = 0.6e9  # optimizer/param traffic per step
 
 
+def median_spread(rates):
+    """Median rate and relative spread ((max-min)/median) of a window list."""
+    med = statistics.median(rates)
+    return (max(rates) - min(rates)) / med, med
+
+
+def measure(window, imgs_per_iter, *, target_s=10.5, min_iters=20, max_iters=200,
+            n_windows=3, max_windows=6, spread_limit=0.10):
+    """Multi-window throughput measurement (round-5 hardening, pure logic).
+
+    ``window(iters)`` runs `iters` timed iterations and returns elapsed
+    seconds (device-synced). Calibrates the window to >= ``target_s`` (or
+    ``max_iters``), takes ``n_windows`` windows, and while the relative
+    spread exceeds ``spread_limit`` takes extras up to ``max_windows`` so a
+    transient slow window (BENCH_r04's failure mode) cannot define the
+    median. Returns ``(median_rate, spread, rates, iters)``.
+
+    Unit-tested with synthetic window functions (tests/test_bench_measure.py)
+    — the driver's artifact generator must not be the one untested path.
+    """
+    est = window(min_iters) / min_iters
+    iters = min(max_iters, max(min_iters, int(target_s / est) + 1))
+    rates = [imgs_per_iter * iters / window(iters) for _ in range(n_windows)]
+    spread, med = median_spread(rates)
+    while spread > spread_limit and len(rates) < max_windows:
+        print(
+            f"bench: window spread {spread:.1%} > {spread_limit:.0%} "
+            f"({[round(r, 1) for r in rates]} img/s) — transient tunnel/backend "
+            "window suspected, taking another",
+            file=sys.stderr,
+        )
+        rates.append(imgs_per_iter * iters / window(iters))
+        spread, med = median_spread(rates)
+    return med, spread, rates, iters
+
+
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
     """The axon TPU tunnel occasionally reports UNAVAILABLE for minutes at a
     time (observed round 3); retry initialization instead of failing the
@@ -119,25 +155,9 @@ def main():
         jax.device_get(metrics["loss"])  # full drain (tunnel-safe sync)
         return time.perf_counter() - t0
 
-    # calibrate: size each window to >=10 s (or >=200 iters, whichever first)
-    est = window(20) / 20
-    iters = min(200, max(20, int(10.5 / est) + 1))
-
-    windows = [bs * iters / window(iters) for _ in range(3)]
-
-    def spread_of(w):
-        med = statistics.median(w)
-        return (max(w) - min(w)) / med, med
-
-    spread, med = spread_of(windows)
-    while spread > 0.10 and len(windows) < 6:
-        print(
-            f"bench: window spread {spread:.1%} > 10% ({[round(w, 1) for w in windows]}"
-            " img/s) — transient tunnel/backend window suspected, taking another",
-            file=sys.stderr,
-        )
-        windows.append(bs * iters / window(iters))
-        spread, med = spread_of(windows)
+    # calibrate to >=10 s (or >=200 iter) windows; median over >=3 windows,
+    # extras while spread > 10% (pure logic in measure(), unit-tested)
+    med, spread, windows, iters = measure(window, bs)
 
     img_per_sec_per_chip = med / n_chips
     step_s = per_chip_bs / img_per_sec_per_chip
