@@ -10,9 +10,10 @@ the ARGUMENT WIRING: subcommand dispatch, defaults, and output layout.
 import os
 
 import numpy as np
+import pytest
 from PIL import Image
 
-from sota_imagenet_tpu.cli import records_main
+from sota_imagenet_tpu.cli import export_main, records_main
 
 
 def _make_tree(root, n_per_class=3, size=(64, 48)):
@@ -63,6 +64,53 @@ def test_records_cli_resize(tmp_path):
     assert len(resized) == 8
     for p in resized:
         assert max(Image.open(p).size) <= 64
+
+
+@pytest.mark.slow
+def test_export_cli_end_to_end(tmp_path):
+    # `sota-export` wiring: config -> model build -> checkpoint load ->
+    # artifact -> served logits match a direct apply of the checkpointed
+    # weights (the library roundtrip itself is tests/test_export.py)
+    import jax
+    import jax.numpy as jnp
+
+    from sota_imagenet_tpu import config as C
+    from sota_imagenet_tpu.config import instantiate
+    from sota_imagenet_tpu.optim import build_optimizer
+    from sota_imagenet_tpu.train import steps as steps_lib
+    from sota_imagenet_tpu.train.checkpoint import save_checkpoint
+    from sota_imagenet_tpu.utils.export import load_exported
+
+    cfg = C.load(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "tiny_synthetic.yaml"),
+        strict_env=False,
+    )
+    model = instantiate(cfg.model)
+    tx = build_optimizer(dict(cfg.optim), 0.1)
+    state = steps_lib.init_state(
+        model, tx, (2, 32, 32, 3), jax.random.PRNGKey(3),
+        input_dtype=jnp.bfloat16, criterion=instantiate(cfg.criterion),
+    )
+    ckpt = save_checkpoint(str(tmp_path), state, epoch=1, block=True)
+
+    out = tmp_path / "artifact"
+    export_main([
+        "-c", os.path.join(os.path.dirname(__file__), "..", "configs", "tiny_synthetic.yaml"),
+        "--ckpt", ckpt, "--out", str(out), "--batch", "4", "--image-size", "32",
+    ])
+    serve, meta = load_exported(str(out))
+    imgs = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3), np.uint8)
+    logits = np.asarray(serve(imgs))
+    assert logits.shape == (4, 1000)
+
+    # reference logits: same normalize-and-apply the exporter bakes in
+    from sota_imagenet_tpu.utils.export import make_serve_fn
+
+    direct = make_serve_fn(model, input_dtype=jnp.bfloat16)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    np.testing.assert_allclose(
+        logits, np.asarray(direct(variables, jnp.asarray(imgs))), rtol=2e-2, atol=2e-2
+    )
 
 
 def test_legacy_create_records_module_shim(tmp_path):
